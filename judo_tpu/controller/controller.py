@@ -1,0 +1,477 @@
+"""The planner core: a pure jitted solve function + a host Controller wrapper.
+
+The reference's ``Controller.update_action`` (judo/controller/controller.py:210-299)
+mutates numpy state while looping sample -> rollout -> reward -> update. Here
+that whole loop is ONE pure function of an explicit ``SolverState`` pytree —
+jitted once per shape signature, vmapped over the rollout batch, and ready to
+shard over a device mesh (see judo_tpu.parallel). The host ``Controller`` class
+keeps the reference's API (update_action / action(t) / reset / spline_data /
+update_states) for the sim/GUI processes.
+
+Shape-affecting GUI knobs (num_rollouts, num_nodes, horizon, spline order,
+normalizer kind) re-specialize the compiled solve — the static-shape answer to
+the reference's live backend resizing (controller.py:225-228). Value knobs
+(sigma, temperature, reward weights, goal positions) flow through parameter
+pytrees with zero recompilation.
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass
+from typing import Any, Literal, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+from flax import struct
+from scipy.interpolate import interp1d
+
+from judo_tpu.config import OverridableConfig
+from judo_tpu.gui import slider
+from judo_tpu.ops.splines import eval_spline
+from judo_tpu.optimizers import Optimizer, OptimizerConfig, get_registered_optimizers
+from judo_tpu.physics import make_state, rollout
+from judo_tpu.tasks import Task, TaskConfig, get_registered_tasks
+from judo_tpu.utils import normalization as norm
+
+
+@slider("horizon", 0.1, 10.0, bounded=True)
+@slider("control_freq", 0.25, 50.0)
+@dataclass
+class ControllerConfig(OverridableConfig):
+    """Base controller config (reference parity: controller.py:31-42)."""
+
+    horizon: float = 1.0
+    spline_order: Literal["zero", "linear", "cubic"] = "linear"
+    control_freq: float = 20.0
+    max_opt_iters: int = 1
+    max_num_traces: int = 5
+    action_normalizer: Literal["none", "min_max", "running"] = "none"
+
+
+@struct.dataclass
+class SolverState:
+    """Carried planner state: everything the reference mutates in place."""
+
+    times: jnp.ndarray  # (N,) knot times
+    nominal_knots: jnp.ndarray  # (N, nu)
+    opt_state: Any  # optimizer-specific (CEM sigma, ...)
+    norm_state: Any  # running-normalizer statistics
+    rng: jax.Array  # PRNG key
+
+
+class SolveOutputs(NamedTuple):
+    rewards: jnp.ndarray  # (R,)
+    states: jnp.ndarray  # (R, T, nq + nv)
+    sensors: jnp.ndarray  # (R, T, nsensordata)
+    rollout_controls: jnp.ndarray  # (R, T, nu)
+    candidate_knots: jnp.ndarray  # (R, N, nu)
+    traces: jnp.ndarray  # (num_elites, num_trace_sensors, T-1, 2, 3)
+
+
+def get_trace_sensor_ids(model: mujoco.MjModel) -> list[int]:
+    """Framepos sensors whose name contains 'trace' (visualizers/utils.py:169-190)."""
+    ids = []
+    for i in range(model.nsensor):
+        if model.sensor_type[i] != mujoco.mjtSensor.mjSENS_FRAMEPOS:
+            continue
+        name = mujoco.mj_id2name(model, mujoco.mjtObj.mjOBJ_SENSOR, i)
+        if name and "trace" in name:
+            ids.append(i)
+    return ids
+
+
+class Controller:
+    """Host-side controller with the reference API, backed by the jitted solve."""
+
+    def __init__(
+        self,
+        controller_config: ControllerConfig,
+        task: Task,
+        optimizer: Optimizer,
+        rollout_backend: Literal["judo_tpu"] = "judo_tpu",
+    ) -> None:
+        self._controller_cfg = controller_config
+        self.task = task
+        self.optimizer = optimizer
+        self.model = task.model
+        self.pm = task.planning_model
+        self.dtype = self.pm.qpos0.dtype
+
+        self.available_optimizers = get_registered_optimizers()
+        self.available_tasks = get_registered_tasks()
+
+        self.system_metadata: dict[str, Any] = {}
+        self.current_state = np.concatenate([task.data.qpos, task.data.qvel])
+
+        self.trace_sensors = get_trace_sensor_ids(self.model)
+        self.trace_inds = [
+            int(self.model.sensor_adr[i]) + k for i in self.trace_sensors for k in range(3)
+        ]
+
+        self._solve_fn = None
+        self._solve_sig = None
+        self.last_outputs: SolveOutputs | None = None
+        self.traces: np.ndarray | None = None
+        self.rewards = np.zeros(self.optimizer_cfg.num_rollouts)
+        self.reset()
+
+    # --- config plumbing (reference API parity) ---
+    @property
+    def controller_cfg(self) -> ControllerConfig:
+        return self._controller_cfg
+
+    @controller_cfg.setter
+    def controller_cfg(self, cfg: ControllerConfig) -> None:
+        self._controller_cfg = cfg
+
+    @property
+    def optimizer_cfg(self) -> OptimizerConfig:
+        return self.optimizer.config
+
+    @optimizer_cfg.setter
+    def optimizer_cfg(self, cfg: OptimizerConfig) -> None:
+        self.optimizer.config = cfg
+
+    @property
+    def task_config(self) -> TaskConfig:
+        return self.task.config
+
+    @task_config.setter
+    def task_config(self, cfg: TaskConfig) -> None:
+        self.task.config = cfg
+
+    @property
+    def horizon(self) -> float:
+        return self.controller_cfg.horizon
+
+    @property
+    def nu(self) -> int:
+        return self.task.nu
+
+    @property
+    def spline_order(self) -> str:
+        return self.controller_cfg.spline_order
+
+    @property
+    def max_opt_iters(self) -> int:
+        return self.controller_cfg.max_opt_iters
+
+    @property
+    def max_num_traces(self) -> int:
+        return self.controller_cfg.max_num_traces
+
+    @property
+    def num_timesteps(self) -> int:
+        return int(np.ceil(self.horizon / self.task.dt))
+
+    @property
+    def rollout_times(self) -> np.ndarray:
+        return self.task.dt * np.arange(self.num_timesteps)
+
+    @property
+    def spline_timesteps(self) -> np.ndarray:
+        return np.linspace(0.0, self.horizon, self.optimizer_cfg.num_nodes, endpoint=True)
+
+    @property
+    def time(self) -> float:
+        return self.task.time
+
+    @time.setter
+    def time(self, value: float) -> None:
+        self.task.time = value
+
+    @property
+    def spline_data(self):
+        """(times, knots, order) triple for publishing to the sim process."""
+        from judo_tpu.app.structs import SplineData
+
+        return SplineData(t=self.times, x=self.nominal_knots, kind=self.spline_order)
+
+    # --- shape signature / compiled solve management ---
+    def _enforce_cubic_min_nodes(self) -> None:
+        if self.optimizer_cfg.num_nodes < 4 and self.spline_order == "cubic":
+            warnings.warn("Cubic splines require at least 4 nodes. Setting num_nodes=4.", stacklevel=2)
+            self.optimizer_cfg.num_nodes = 4
+
+    def _signature(self) -> tuple:
+        oc = self.optimizer_cfg
+        cc = self.controller_cfg
+        extra = tuple(
+            sorted(
+                (f, getattr(oc, f))
+                for f in ("num_elites",)
+                if hasattr(oc, f)
+            )
+        )
+        return (
+            type(self.optimizer).__name__,
+            oc.num_rollouts,
+            oc.num_nodes,
+            bool(oc.use_noise_ramp),
+            cc.spline_order,
+            float(cc.horizon),
+            int(cc.max_opt_iters),
+            cc.action_normalizer,
+            min(cc.max_num_traces, oc.num_rollouts),
+            extra,
+        )
+
+    def _build_solve(self):
+        """Specialize + jit the pure solve for the current shape signature."""
+        task = self.task
+        optimizer = self.optimizer
+        pm = self.pm
+        dtype = self.dtype
+        order = self.spline_order
+        num_nodes = self.optimizer_cfg.num_nodes
+        max_opt_iters = self.max_opt_iters
+        kind = self.controller_cfg.action_normalizer
+        if kind not in norm.normalizer_registry:
+            warnings.warn(
+                f"Invalid action normalizer type '{kind}'. Available: "
+                f"{list(norm.normalizer_registry)}. Falling back to 'none'.",
+                stacklevel=2,
+            )
+            kind = "none"
+        substeps = task.physics_substeps
+        spline_ts = jnp.asarray(self.spline_timesteps, dtype)
+        rollout_ts = jnp.asarray(self.rollout_times, dtype)
+        ctrl_lo = jnp.asarray(task.actuator_ctrlrange[:, 0], dtype)
+        ctrl_hi = jnp.asarray(task.actuator_ctrlrange[:, 1], dtype)
+        num_trace_elites = min(self.max_num_traces, self.optimizer_cfg.num_rollouts)
+        trace_inds = jnp.asarray(self.trace_inds, dtype=jnp.int32)
+        n_trace = len(self.trace_sensors)
+
+        def solve(
+            carry: SolverState,
+            current_state: jnp.ndarray,
+            time: jnp.ndarray,
+            task_params: dict,
+            opt_params: Any,
+            norm_params: dict,
+            metadata: dict,
+        ) -> tuple[SolverState, SolveOutputs]:
+            new_times = time + spline_ts
+            # resample the nominal spline at the shifted knot times (:219-221)
+            nominal = eval_spline(carry.times, carry.nominal_knots, new_times, order)
+            nominal_n = norm.normalize(kind, norm_params, carry.norm_state, nominal)
+
+            opt_state = optimizer.pre_optimization(opt_params, carry.opt_state, carry.times, new_times)
+            norm_state = carry.norm_state
+            rng = carry.rng
+
+            x0 = make_state(pm, qpos=current_state[: pm.nq], qvel=current_state[pm.nq :], time=time)
+
+            candidates = None
+            states = sensors = rollout_controls = rewards = None
+            for _ in range(max_opt_iters):
+                rng, sub = jax.random.split(rng)
+                # sample + clip to normalized ctrlrange (:251-257)
+                cand_n, opt_state = optimizer.sample(opt_params, opt_state, nominal_n, sub)
+                lo = norm.normalize(kind, norm_params, norm_state, ctrl_lo)
+                hi = norm.normalize(kind, norm_params, norm_state, ctrl_hi)
+                cand_n = jnp.clip(cand_n, lo, hi)
+                candidates = norm.denormalize(kind, norm_params, norm_state, cand_n)
+
+                # candidate knot splines evaluated at rollout times (:261-262)
+                rollout_controls = eval_spline(new_times, candidates, time + rollout_ts, order)
+
+                # roll out dynamics (:267-271): vmap over the candidate batch
+                sim_controls = task.task_to_sim_ctrl(rollout_controls)
+                out = jax.vmap(lambda c: rollout(pm, x0, c, physics_substeps=substeps))(sim_controls)
+                states, sensors = out.states, out.sensordata
+
+                rewards = task.reward(states, sensors, rollout_controls, task_params, metadata)
+                nominal_n, opt_state = optimizer.update(opt_params, opt_state, cand_n, rewards)
+                norm_state = norm.update_normalizer(kind, norm_params, norm_state, candidates)
+
+            new_nominal = norm.denormalize(kind, norm_params, norm_state, nominal_n)
+
+            # elite trace packing (controller.py:323-363), device-side
+            if n_trace > 0 and num_trace_elites > 0:
+                _, elite_idx = jax.lax.top_k(rewards, num_trace_elites)
+                tr = sensors[elite_idx][:, :, trace_inds]  # (k, T, 3*ns)
+                k_, t_ = tr.shape[0], tr.shape[1]
+                tr = tr.reshape(k_, t_, n_trace, 3).swapaxes(1, 2)  # (k, ns, T, 3)
+                traces = jnp.stack([tr[:, :, :-1], tr[:, :, 1:]], axis=3)  # (k, ns, T-1, 2, 3)
+            else:
+                traces = jnp.zeros((0, 0, 0, 2, 3), dtype)
+
+            new_carry = SolverState(
+                times=new_times,
+                nominal_knots=new_nominal,
+                opt_state=opt_state,
+                norm_state=norm_state,
+                rng=rng,
+            )
+            outputs = SolveOutputs(rewards, states, sensors, rollout_controls, candidates, traces)
+            return new_carry, outputs
+
+        return jax.jit(solve)
+
+    def _get_solve(self):
+        sig = self._signature()
+        if sig != self._solve_sig:
+            self._solve_fn = self._build_solve()
+            self._solve_sig = sig
+        return self._solve_fn
+
+    # --- normalizer plumbing ---
+    def _norm_params(self) -> dict:
+        kind = self.controller_cfg.action_normalizer
+        if kind not in norm.normalizer_registry:
+            kind = "none"
+        return norm.make_normalizer_params(
+            kind, self.model.nu, ctrlrange=self.task.actuator_ctrlrange, dtype=self.dtype
+        )
+
+    # --- main entry points (reference API) ---
+    def update_action(self) -> None:
+        """One planning step (the hot path)."""
+        assert self.current_state.shape == (self.model.nq + self.model.nv,)
+        assert self.optimizer_cfg.num_rollouts > 0, "Need at least one rollout!"
+        self._enforce_cubic_min_nodes()
+        self._sync_state_shapes()
+
+        metadata = self.task.pre_rollout(self.current_state)
+        merged_meta = {**self.system_metadata, **metadata}
+        device_meta = {
+            k: jnp.asarray(v, self.dtype) for k, v in merged_meta.items() if not isinstance(v, str)
+        }
+
+        solve = self._get_solve()
+        self._carry, outputs = solve(
+            self._carry,
+            jnp.asarray(self.current_state, self.dtype),
+            jnp.asarray(self.time, self.dtype),
+            self.task.task_params(self.dtype),
+            self.optimizer.params(),
+            self._norm_params(),
+            device_meta,
+        )
+        self.last_outputs = outputs
+
+        self.task.post_rollout(
+            outputs.states, outputs.sensors, outputs.rollout_controls, merged_meta
+        )
+
+        # host mirrors for the sim/GUI side
+        self.times = np.asarray(self._carry.times)
+        self.nominal_knots = np.asarray(self._carry.nominal_knots)
+        self.rewards = np.asarray(outputs.rewards)
+        self.update_spline(self.times, self.nominal_knots)
+        self.update_traces(outputs)
+
+    def action(self, time: float) -> np.ndarray:
+        """Current best action (host-side spline query)."""
+        return self.spline(time)
+
+    def update_spline(self, times: np.ndarray, controls: np.ndarray) -> None:
+        fill = (controls[..., 0, :], controls[..., -1, :])
+        self.spline = interp1d(
+            times, controls, kind=self.spline_order, axis=-2, fill_value=fill, bounds_error=False
+        )
+
+    def update_traces(self, outputs: SolveOutputs) -> None:
+        """Flatten device-packed elite traces to the (total, 2, 3) wire layout."""
+        tr = np.asarray(outputs.traces)  # (k, ns, T-1, 2, 3)
+        if tr.size == 0:
+            self.traces = None
+            return
+        k, ns, tm1 = tr.shape[0], tr.shape[1], tr.shape[2]
+        # reference interleaving (controller.py:352-363): index = elite*ns + sensor
+        self.traces = tr.reshape(k * ns * tm1, 2, 3)
+
+    def update_states(self, state_msg) -> None:
+        """Consume a MujocoState message (controller.py:365-369)."""
+        self.current_state = np.concatenate([state_msg.qpos, state_msg.qvel])
+        self.time = state_msg.time
+        self.system_metadata = state_msg.sim_metadata
+
+    def reset(self) -> None:
+        """Reset task + solver state (controller.py:309-321)."""
+        self.task.reset()
+        self._enforce_cubic_min_nodes()
+        n = self.optimizer_cfg.num_nodes
+        warm = np.tile(self.task.optimizer_warm_start(), (n, 1))
+        times0 = self.task.data.time + self.spline_timesteps
+        kind = self.controller_cfg.action_normalizer
+        norm_params = self._norm_params()
+        self._carry = SolverState(
+            times=jnp.asarray(times0, self.dtype),
+            nominal_knots=jnp.asarray(warm, self.dtype),
+            opt_state=self.optimizer.init_state(self.dtype),
+            norm_state=norm.init_normalizer_state(
+                kind if kind in norm.normalizer_registry else "none",
+                self.model.nu,
+                norm_params,
+                self.dtype,
+            ),
+            rng=jax.random.key(np.random.randint(0, 2**31 - 1)),
+        )
+        self.times = np.asarray(times0)
+        self.nominal_knots = warm
+        self.current_state = np.concatenate([self.task.data.qpos, self.task.data.qvel])
+        self.update_spline(self.times, self.nominal_knots)
+
+    def _sync_state_shapes(self) -> None:
+        """Re-shape carried state when GUI knobs changed node counts etc."""
+        n = self.optimizer_cfg.num_nodes
+        if self._carry.nominal_knots.shape[0] != n:
+            old_times = self._carry.times
+            new_times = jnp.linspace(old_times[0], old_times[-1], n)
+            nominal = eval_spline(old_times, self._carry.nominal_knots, new_times, "linear")
+            opt_state = self.optimizer.pre_optimization(
+                self.optimizer.params(), self._carry.opt_state, old_times, new_times
+            )
+            # states whose node axis didn't re-interp above are re-initialized
+            opt_state = jax.tree.map(
+                lambda leaf, ref: leaf if leaf.shape == ref.shape else ref,
+                opt_state,
+                self.optimizer.init_state(self.dtype),
+            )
+            self._carry = self._carry.replace(times=new_times, nominal_knots=nominal, opt_state=opt_state)
+
+
+def make_controller(
+    init_task: str,
+    init_optimizer: str,
+    task_registration_cfg: dict | None = None,
+    optimizer_registration_cfg: dict | None = None,
+    rollout_backend: Literal["judo_tpu"] = "judo_tpu",
+) -> Controller:
+    """Instantiate a controller from registry names (controller.py:404-442)."""
+    from judo_tpu.app.utils import register_optimizers_from_cfg, register_tasks_from_cfg
+
+    if task_registration_cfg is not None:
+        register_tasks_from_cfg(task_registration_cfg)
+    if optimizer_registration_cfg is not None:
+        register_optimizers_from_cfg(optimizer_registration_cfg)
+
+    available_tasks = get_registered_tasks()
+    available_optimizers = get_registered_optimizers()
+    task_entry = available_tasks.get(init_task)
+    optimizer_entry = available_optimizers.get(init_optimizer)
+    assert task_entry is not None, f"Task {init_task} not found in task registry."
+    assert optimizer_entry is not None, f"Optimizer {init_optimizer} not found in optimizer registry."
+
+    task_cls, _ = task_entry
+    task = task_cls()
+
+    optimizer_cls, optimizer_config_cls = optimizer_entry
+    optimizer_cfg = optimizer_config_cls()
+    optimizer_cfg.set_override(init_task)
+    optimizer = optimizer_cls(optimizer_cfg, task.nu)
+
+    controller_cfg = ControllerConfig()
+    controller_cfg.set_override(init_task)
+
+    return Controller(
+        controller_config=controller_cfg,
+        task=task,
+        optimizer=optimizer,
+        rollout_backend=rollout_backend,
+    )

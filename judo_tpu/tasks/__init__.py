@@ -1,0 +1,34 @@
+"""Task registry (reference parity: judo/tasks/__init__.py:25-47)."""
+
+from typing import Type
+
+from judo_tpu.tasks.base import Task, TaskConfig
+from judo_tpu.tasks.cartpole import Cartpole, CartpoleConfig
+from judo_tpu.tasks.cylinder_push import CylinderPush, CylinderPushConfig
+
+_registered_tasks: dict[str, tuple[Type[Task], Type[TaskConfig]]] = {}
+
+
+def register_task(name: str, task_type: Type[Task], task_config_type: Type[TaskConfig] | None = None) -> None:
+    if task_config_type is None:
+        task_config_type = task_type.config_t
+    _registered_tasks[name] = (task_type, task_config_type)
+
+
+def get_registered_tasks() -> dict[str, tuple[Type[Task], Type[TaskConfig]]]:
+    return _registered_tasks
+
+
+for _cls in (Cartpole, CylinderPush):
+    register_task(_cls.name, _cls)
+
+__all__ = [
+    "Cartpole",
+    "CartpoleConfig",
+    "CylinderPush",
+    "CylinderPushConfig",
+    "Task",
+    "TaskConfig",
+    "get_registered_tasks",
+    "register_task",
+]

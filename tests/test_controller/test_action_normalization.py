@@ -1,0 +1,95 @@
+"""Normalizer parity tests (reference: tests/test_controller/test_action_normalization.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from judo_tpu.utils import normalization as norm
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(5)
+
+
+def test_identity_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((7, 3)))
+    assert np.array_equal(np.asarray(norm.normalize("none", {}, {}, x)), np.asarray(x))
+    assert np.array_equal(np.asarray(norm.denormalize("none", {}, {}, x)), np.asarray(x))
+
+
+def test_min_max_maps_range_to_unit_box(rng):
+    ctrlrange = np.array([[-2.0, 2.0], [0.0, 10.0]])
+    p = norm.make_normalizer_params("min_max", 2, ctrlrange=ctrlrange, dtype=jnp.float64)
+    lo = norm.normalize("min_max", p, {}, jnp.asarray([-2.0, 0.0]))
+    hi = norm.normalize("min_max", p, {}, jnp.asarray([2.0, 10.0]))
+    np.testing.assert_allclose(np.asarray(lo), [-1, -1], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(hi), [1, 1], atol=1e-12)
+    x = jnp.asarray(rng.uniform(-2, 2, (5, 2)))
+    back = norm.denormalize("min_max", p, {}, norm.normalize("min_max", p, {}, x))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-12)
+
+
+def test_min_max_skips_infinite_dims_with_warning(rng):
+    ctrlrange = np.array([[-1.0, 1.0], [-np.inf, np.inf]])
+    with pytest.warns(UserWarning):
+        p = norm.make_normalizer_params("min_max", 2, ctrlrange=ctrlrange, dtype=jnp.float64)
+    x = jnp.asarray([0.5, 123.0])
+    out = np.asarray(norm.normalize("min_max", p, {}, x))
+    assert out[1] == 123.0  # untouched
+    assert out[0] == pytest.approx(0.5)
+
+
+def test_running_welford_matches_numpy(rng):
+    """Batch Welford vs numpy over successive 2D/3D updates (reference :15-120)."""
+    p = norm.make_normalizer_params("running", 4, dtype=jnp.float64)
+    state = norm.init_normalizer_state("running", 4, p, jnp.float64)
+    chunks = [rng.standard_normal((8, 4)), rng.standard_normal((3, 5, 4)), rng.standard_normal((1, 4))]
+    for c in chunks:
+        state = norm.update_normalizer("running", p, state, jnp.asarray(c))
+    all_data = np.concatenate([c.reshape(-1, 4) for c in chunks])
+    np.testing.assert_allclose(np.asarray(state["mean"]), all_data.mean(0), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(state["std"]), all_data.std(0), atol=1e-9)
+    assert float(state["count"]) == all_data.shape[0]
+
+
+def test_running_normalize_roundtrip(rng):
+    p = norm.make_normalizer_params("running", 3, dtype=jnp.float64)
+    state = norm.init_normalizer_state("running", 3, p, jnp.float64)
+    state = norm.update_normalizer("running", p, state, jnp.asarray(rng.standard_normal((50, 3))))
+    x = jnp.asarray(rng.standard_normal((6, 3)))
+    back = norm.denormalize("running", p, state, norm.normalize("running", p, state, x))
+    # the eps in normalize (but not denormalize) mirrors the reference
+    # (normalization.py:205-208), so the roundtrip is only eps-accurate
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+def test_candidate_clamping_in_normalized_space():
+    """Controller clips candidates to the *normalized* ctrlrange (controller.py:253-257)."""
+    import mujoco
+    from judo_tpu.controller import make_controller
+
+    np.random.seed(0)
+    c = make_controller("cartpole", "ps")
+    c.controller_cfg.action_normalizer = "min_max"
+    c.optimizer_cfg.sigma = 50.0  # force samples way out of range
+    c.update_action()
+    cand = np.asarray(c.last_outputs.candidate_knots)
+    lo, hi = c.task.actuator_ctrlrange[:, 0], c.task.actuator_ctrlrange[:, 1]
+    assert (cand >= lo - 1e-9).all() and (cand <= hi + 1e-9).all()
+
+
+def test_normalizer_hot_swap_mid_loop():
+    """Changing normalizer type in the GUI re-specializes cleanly (reference :150+)."""
+    from judo_tpu.controller import make_controller
+
+    np.random.seed(0)
+    c = make_controller("cartpole", "ps")
+    c.update_action()
+    c.controller_cfg.action_normalizer = "running"
+    c.reset()
+    c.update_action()
+    assert float(c._carry.norm_state["count"]) > 0
+    c.controller_cfg.action_normalizer = "min_max"
+    c.update_action()
+    assert np.isfinite(c.rewards).all()
