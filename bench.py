@@ -1,0 +1,125 @@
+"""Benchmark: plan-time distribution for the flagship solve on this machine.
+
+Mirrors the reference ``benchmark`` tool's semantics (100-sample plan-time
+distribution per task/optimizer pair — judo/app/benchmark.py:19,76-90) and
+additionally measures a reference-equivalent CPU baseline (threaded
+``mujoco.rollout`` with the reference's own solve shape) so the speedup is
+computed against the reference's own engine on this host.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  value       = our p50 plan time (ms) at 10x the reference sample count
+  vs_baseline = reference-engine p50 plan time / our p50 plan time
+                (>1 means faster than the reference at 10x its batch)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+TASK = "cylinder_push"  # TODO(leap_cube): switch when the leap task lands
+OPTIMIZER = "mppi"
+REF_NUM_ROLLOUTS = 32  # reference override for this task (optimizers/overrides.py)
+OUR_NUM_ROLLOUTS = 320  # 10x, per the BASELINE north-star
+N_SAMPLES = 100
+WARMUP = 3
+
+
+def bench_ours() -> dict:
+    import jax
+
+    from judo_tpu.controller import make_controller
+
+    np.random.seed(0)
+    c = make_controller(TASK, OPTIMIZER)
+    c.optimizer_cfg.num_rollouts = OUR_NUM_ROLLOUTS
+    c.time = 0.0
+
+    for _ in range(WARMUP):
+        c.update_action()
+        jax.block_until_ready(c.last_outputs.rewards)
+
+    times = []
+    for _ in range(N_SAMPLES):
+        t0 = time.perf_counter()
+        c.update_action()
+        jax.block_until_ready(c.last_outputs.rewards)
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    return {
+        "p50_s": float(np.median(times)),
+        "p95_s": float(np.percentile(times, 95)),
+        "mean_s": float(times.mean()),
+        "rollouts_per_s": float(OUR_NUM_ROLLOUTS / np.median(times)),
+        "num_rollouts": OUR_NUM_ROLLOUTS,
+        "horizon_steps": c.num_timesteps,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def bench_reference_equivalent() -> dict:
+    """The reference's engine (threaded mujoco.rollout) at its own solve shape."""
+    import mujoco
+    import mujoco.rollout
+    from scipy.interpolate import interp1d
+
+    from judo_tpu import MODEL_PATH
+
+    model = mujoco.MjModel.from_xml_path(str(MODEL_PATH / "xml" / f"{TASK}.xml"))
+    R = REF_NUM_ROLLOUTS
+    models = [model] * R
+    datas = [mujoco.MjData(model) for _ in range(R)]
+    rollout_obj = mujoco.rollout.Rollout(nthread=R)
+
+    horizon, num_nodes, sigma = 1.0, 4, 0.1
+    T = int(np.ceil(horizon / model.opt.timestep))
+    nu = model.nu
+    rng = np.random.default_rng(0)
+    nominal = np.zeros((num_nodes, nu))
+    x0 = np.zeros(model.nq + model.nv)
+
+    def plan_once(t0: float) -> np.ndarray:
+        times = t0 + np.linspace(0, horizon, num_nodes)
+        knots = np.concatenate(
+            [nominal[None], nominal[None] + sigma * rng.standard_normal((R - 1, num_nodes, nu))]
+        )
+        spline = interp1d(times, knots, kind="zero", axis=-2, bounds_error=False,
+                          fill_value=(knots[..., 0, :], knots[..., -1, :]))
+        controls = spline(t0 + model.opt.timestep * np.arange(T))
+        full_state = np.tile(np.concatenate([[t0], x0]), (R, 1))
+        state, sens = rollout_obj.rollout(models, datas, full_state, control=controls)
+        # reward: same arithmetic class as the task's (quadratic forms)
+        rewards = -0.5 * np.square(state[..., 1:5]).sum(-1).sum(-1)
+        return knots[np.argmax(rewards)]
+
+    for _ in range(WARMUP):
+        plan_once(0.0)
+    times = []
+    for i in range(N_SAMPLES):
+        t0 = time.perf_counter()
+        plan_once(0.05 * i)
+        times.append(time.perf_counter() - t0)
+    rollout_obj.close()  # leave no thread pool contending with the TPU loop
+    times = np.asarray(times)
+    return {"p50_s": float(np.median(times)), "p95_s": float(np.percentile(times, 95)), "num_rollouts": R}
+
+
+def main() -> None:
+    ours = bench_ours()
+    ref = bench_reference_equivalent()
+    result = {
+        "metric": f"{TASK}+{OPTIMIZER} p50 plan time @ {OUR_NUM_ROLLOUTS} samples "
+        f"(ref engine @ {REF_NUM_ROLLOUTS} samples: {ref['p50_s'] * 1e3:.2f} ms; "
+        f"ours p95 {ours['p95_s'] * 1e3:.2f} ms; {ours['rollouts_per_s']:.0f} rollouts/s/chip; "
+        f"device {ours['device']})",
+        "value": round(ours["p50_s"] * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(ref["p50_s"] / ours["p50_s"], 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

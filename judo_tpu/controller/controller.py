@@ -92,10 +92,12 @@ class Controller:
         task: Task,
         optimizer: Optimizer,
         rollout_backend: Literal["judo_tpu"] = "judo_tpu",
+        mesh=None,
     ) -> None:
         self._controller_cfg = controller_config
         self.task = task
         self.optimizer = optimizer
+        self.mesh = mesh  # optional jax.sharding.Mesh: shard rollouts over it
         self.model = task.model
         self.pm = task.planning_model
         self.dtype = self.pm.qpos0.dtype
@@ -113,6 +115,7 @@ class Controller:
 
         self._solve_fn = None
         self._solve_sig = None
+        self._args_cache: dict[str, Any] = {}
         self.last_outputs: SolveOutputs | None = None
         self.traces: np.ndarray | None = None
         self.rewards = np.zeros(self.optimizer_cfg.num_rollouts)
@@ -244,6 +247,18 @@ class Controller:
         num_trace_elites = min(self.max_num_traces, self.optimizer_cfg.num_rollouts)
         trace_inds = jnp.asarray(self.trace_inds, dtype=jnp.int32)
         n_trace = len(self.trace_sensors)
+        mesh = self.mesh
+        if mesh is not None:
+            from judo_tpu.parallel.mesh import rollout_sharding
+
+            batch_sharding = rollout_sharding(mesh)
+
+            def shard_batch(x):
+                return jax.lax.with_sharding_constraint(x, batch_sharding)
+        else:
+
+            def shard_batch(x):
+                return x
 
         def solve(
             carry: SolverState,
@@ -274,6 +289,10 @@ class Controller:
                 lo = norm.normalize(kind, norm_params, norm_state, ctrl_lo)
                 hi = norm.normalize(kind, norm_params, norm_state, ctrl_hi)
                 cand_n = jnp.clip(cand_n, lo, hi)
+                # shard the candidate batch over the device mesh; everything
+                # downstream (spline eval, physics, rewards) inherits the
+                # partitioning and reductions become ICI collectives
+                cand_n = shard_batch(cand_n)
                 candidates = norm.denormalize(kind, norm_params, norm_state, cand_n)
 
                 # candidate knot splines evaluated at rollout times (:261-262)
@@ -328,6 +347,41 @@ class Controller:
             kind, self.model.nu, ctrlrange=self.task.actuator_ctrlrange, dtype=self.dtype
         )
 
+    @staticmethod
+    def _fingerprint(cfg: Any) -> tuple:
+        """Cheap value fingerprint of a config dataclass (arrays by bytes)."""
+        import dataclasses as dc
+
+        out = []
+        for f in dc.fields(cfg):
+            v = getattr(cfg, f.name)
+            if isinstance(v, np.ndarray):
+                out.append((f.name, v.tobytes()))
+            elif dc.is_dataclass(v) and not isinstance(v, type):
+                out.append((f.name, Controller._fingerprint(v)))
+            else:
+                out.append((f.name, v))
+        return tuple(out)
+
+    def _device_params(self) -> tuple[Any, Any, Any]:
+        """Device-resident (task_params, opt_params, norm_params), re-uploaded
+        only when the source config values change — host->device transfers are
+        expensive on a tunneled TPU, so they are off the per-solve hot path."""
+        cache = self._args_cache
+        tfp = self._fingerprint(self.task.config)
+        if cache.get("task_fp") != tfp:
+            cache["task_fp"] = tfp
+            cache["task_params"] = jax.device_put(self.task.task_params(self.dtype))
+        ofp = self._fingerprint(self.optimizer.config)
+        if cache.get("opt_fp") != ofp:
+            cache["opt_fp"] = ofp
+            cache["opt_params"] = jax.device_put(self.optimizer.params())
+        nfp = (self.controller_cfg.action_normalizer,)
+        if cache.get("norm_fp") != nfp:
+            cache["norm_fp"] = nfp
+            cache["norm_params"] = jax.device_put(self._norm_params())
+        return cache["task_params"], cache["opt_params"], cache["norm_params"]
+
     # --- main entry points (reference API) ---
     def update_action(self) -> None:
         """One planning step (the hot path)."""
@@ -343,13 +397,14 @@ class Controller:
         }
 
         solve = self._get_solve()
+        task_params, opt_params, norm_params = self._device_params()
         self._carry, outputs = solve(
             self._carry,
             jnp.asarray(self.current_state, self.dtype),
             jnp.asarray(self.time, self.dtype),
-            self.task.task_params(self.dtype),
-            self.optimizer.params(),
-            self._norm_params(),
+            task_params,
+            opt_params,
+            norm_params,
             device_meta,
         )
         self.last_outputs = outputs
@@ -358,12 +413,12 @@ class Controller:
             outputs.states, outputs.sensors, outputs.rollout_controls, merged_meta
         )
 
-        # host mirrors for the sim/GUI side
-        self.times = np.asarray(self._carry.times)
-        self.nominal_knots = np.asarray(self._carry.nominal_knots)
-        self.rewards = np.asarray(outputs.rewards)
+        # host mirrors for the sim/GUI side — ONE device->host pull
+        self.times, self.nominal_knots, self.rewards, traces = jax.device_get(
+            (self._carry.times, self._carry.nominal_knots, outputs.rewards, outputs.traces)
+        )
         self.update_spline(self.times, self.nominal_knots)
-        self.update_traces(outputs)
+        self.update_traces(outputs, traces)
 
     def action(self, time: float) -> np.ndarray:
         """Current best action (host-side spline query)."""
@@ -375,9 +430,9 @@ class Controller:
             times, controls, kind=self.spline_order, axis=-2, fill_value=fill, bounds_error=False
         )
 
-    def update_traces(self, outputs: SolveOutputs) -> None:
+    def update_traces(self, outputs: SolveOutputs, traces: np.ndarray | None = None) -> None:
         """Flatten device-packed elite traces to the (total, 2, 3) wire layout."""
-        tr = np.asarray(outputs.traces)  # (k, ns, T-1, 2, 3)
+        tr = np.asarray(outputs.traces) if traces is None else traces  # (k, ns, T-1, 2, 3)
         if tr.size == 0:
             self.traces = None
             return

@@ -198,12 +198,17 @@ def _collision_pairs(m: mujoco.MjModel) -> Tuple[Tuple[int, int], ...]:
     return tuple(pairs)
 
 
-def put_model(m: mujoco.MjModel, dtype: Any = jnp.float32) -> PhysicsModel:
+def put_model(
+    m: mujoco.MjModel, dtype: Any = jnp.float32, solver_iterations: int | None = None
+) -> PhysicsModel:
     """Lower a compiled ``mujoco.MjModel`` into a device ``PhysicsModel``.
 
     The analogue of the reference's per-rollout MjModel deep copies
     (judo/utils/mj_rollout_backend.py:38-43) — but one shared immutable device
     model serves every rollout via vmap instead of R host copies.
+
+    solver_iterations overrides opt.iterations for the contact solver (planner
+    models trade solver tightness for sequential depth on TPU).
     """
     a = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)  # noqa: E731
 
@@ -245,7 +250,7 @@ def put_model(m: mujoco.MjModel, dtype: Any = jnp.float32) -> PhysicsModel:
         contact_enabled=contact_enabled,
         limit_enabled=limit_enabled,
         gravity_enabled=gravity_enabled,
-        solver_iterations=int(m.opt.iterations),
+        solver_iterations=int(m.opt.iterations) if solver_iterations is None else int(solver_iterations),
         body_parentid=_t(m.body_parentid),
         body_rootid=_t(m.body_rootid),
         body_jntadr=_t(m.body_jntadr),

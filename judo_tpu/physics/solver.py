@@ -198,5 +198,5 @@ def solve_contacts(
     minv_jt = jax.scipy.linalg.cho_solve(mm_factor, J.T)  # (nv, nefc)
     A = J @ minv_jt + jnp.diag(reg)
     b = J @ qacc_smooth - aref
-    f = solve_dual_qp(A, b, iterations=max(m.solver_iterations, 30))
+    f = solve_dual_qp(A, b, iterations=max(m.solver_iterations, 8))
     return qacc_smooth + minv_jt @ f

@@ -109,7 +109,13 @@ class RolloutOutput(NamedTuple):
     sensordata: jnp.ndarray  # (T, nsensordata)
 
 
-def rollout(m: PhysicsModel, s0: PhysicsState, controls: jnp.ndarray, physics_substeps: int = 1) -> RolloutOutput:
+def rollout(
+    m: PhysicsModel,
+    s0: PhysicsState,
+    controls: jnp.ndarray,
+    physics_substeps: int = 1,
+    unroll: int = 5,
+) -> RolloutOutput:
     """Roll out a control sequence from one initial state.
 
     controls: (T, nu) — each control is held for ``physics_substeps`` physics
@@ -130,5 +136,7 @@ def rollout(m: PhysicsModel, s0: PhysicsState, controls: jnp.ndarray, physics_su
             s, res = step_with_forward(m, s, ctrl)
         return s, (jnp.concatenate([s.qpos, s.qvel]), res.sensordata)
 
-    _, (states, sensors) = jax.lax.scan(body, s0, controls)
+    # moderate unroll amortizes TPU per-op scheduling overhead across steps
+    # (measured ~20% on the tunneled v5e; large unrolls regress)
+    _, (states, sensors) = jax.lax.scan(body, s0, controls, unroll=min(unroll, controls.shape[0]))
     return RolloutOutput(states, sensors)

@@ -58,6 +58,10 @@ class Task(Generic[ConfigT]):
 
     name: str
     config_t: type[ConfigT]
+    # contact-solver iterations for the *planning* model: planners trade
+    # solver tightness for TPU sequential depth (the sim side uses the model's
+    # own opt.iterations)
+    planning_solver_iterations: int = 25
 
     def __init__(
         self,
@@ -75,7 +79,9 @@ class Task(Generic[ConfigT]):
         self.model_path = model_path
         self.sim_model = self.model if sim_model_path is None else MjModel.from_xml_path(str(sim_model_path))
         # device planning model (lowered once; shared by every rollout)
-        self.planning_model: PhysicsModel = put_model(self.model, dtype=planning_dtype)
+        self.planning_model: PhysicsModel = put_model(
+            self.model, dtype=planning_dtype, solver_iterations=self.planning_solver_iterations
+        )
 
     def _process_spec(self) -> None:
         """Hook for subclasses to modify the spec before compile (base.py:42)."""
