@@ -9,10 +9,22 @@ on-device); optimizers are pure sample/score/update transforms.
 Reference entry point parity: judo/__init__.py (PACKAGE_ROOT / MODEL_PATH).
 """
 
+import os
 from pathlib import Path
 
 PACKAGE_ROOT = Path(__file__).parent
 MODEL_PATH = PACKAGE_ROOT / "models"
+
+# Persistent XLA compilation cache: contact-rich solver graphs take minutes to
+# compile through the tunneled TPU toolchain; cache them across processes.
+try:  # pragma: no cover - best effort
+    import jax
+
+    _cache_dir = os.environ.get("JUDO_TPU_COMPILE_CACHE", "/tmp/judo_tpu_xla_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # noqa: BLE001
+    pass
 
 __version__ = "0.1.0"
 

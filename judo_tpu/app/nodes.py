@@ -1,0 +1,163 @@
+"""App nodes: sim loop + controller loop over the message bus.
+
+Mirrors the reference's dora nodes (judo/app/dora/{simulation,controller}.py)
+as threads in one process. Topic contract (judo_dora_default.yaml):
+
+    simulation --states--> controller
+    controller --controls (SplineData), plan_time, traces--> simulation/viz
+    viz/CLI    --task, optimizer, pause, reset, configs--> both
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import warnings
+from typing import Any
+
+import numpy as np
+
+from judo_tpu.app.bus import MessageBus
+from judo_tpu.app.structs import MujocoState, SplineData
+from judo_tpu.controller import Controller, make_controller
+from judo_tpu.simulation import Simulation, get_simulation_backend
+
+
+class SimulationNode:
+    """Paced sim loop: evaluate received control spline at sim time, step,
+    publish states (dora/simulation.py:52-87)."""
+
+    def __init__(self, bus: MessageBus, init_task: str, backend: str = "mujoco") -> None:
+        self.bus = bus
+        from judo_tpu.tasks import get_registered_tasks
+
+        task_cls, _ = get_registered_tasks()[init_task]
+        self.sim: Simulation = get_simulation_backend(backend)(task_cls())
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        bus.subscribe("task", self._on_task)
+        bus.subscribe("sim_pause", self._on_pause)
+        bus.subscribe("task_reset", self._on_reset)
+
+    def _on_task(self, name: str) -> None:
+        with self._lock:
+            self.sim.set_task(name)
+
+    def _on_pause(self, _msg: Any) -> None:
+        with self._lock:
+            self.sim.pause()
+
+    def _on_reset(self, _msg: Any) -> None:
+        with self._lock:
+            self.sim.task.reset()
+
+    def step_once(self) -> None:
+        """One sim tick (also used directly by tests/benchmark)."""
+        with self._lock:
+            spline_msg: SplineData | None = self.bus.read("controls")
+            task = self.sim.task
+            if spline_msg is not None and spline_msg.x.shape[-1] == task.nu:
+                command = spline_msg.spline()(self.sim.task.data.time)
+            else:
+                command = np.zeros(task.nu)
+            self.sim.step(command)
+            self.bus.publish("states", self.sim.sim_state)
+
+    def spin(self) -> None:
+        while not self._stop.is_set():
+            t0 = time.perf_counter()
+            self.step_once()
+            elapsed = time.perf_counter() - t0
+            budget = self.sim.timestep
+            if elapsed > budget:
+                warnings.warn(f"sim step overran: {elapsed * 1e3:.1f}ms > {budget * 1e3:.1f}ms", stacklevel=1)
+            else:
+                time.sleep(budget - elapsed)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
+class ControllerNode:
+    """Controller loop at control_freq: consume states, plan, publish spline +
+    plan_time + traces (dora/controller.py:126-157)."""
+
+    def __init__(self, bus: MessageBus, init_task: str, init_optimizer: str) -> None:
+        self.bus = bus
+        self.controller: Controller = make_controller(init_task, init_optimizer)
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._paused = False
+        bus.subscribe("task", self._on_task)
+        bus.subscribe("optimizer", self._on_optimizer)
+        bus.subscribe("task_reset", self._on_reset)
+        bus.subscribe("controller_pause", self._on_pause)
+
+    def _on_task(self, name: str) -> None:
+        with self._lock:
+            entry = self.controller.available_tasks.get(name)
+            if entry is None:
+                warnings.warn(f"unknown task '{name}'", stacklevel=1)
+                return
+            task_cls, _ = entry
+            task = task_cls()
+            opt_cls = type(self.controller.optimizer)
+            opt_cfg = type(self.controller.optimizer.config)()
+            opt_cfg.set_override(name)
+            optimizer = opt_cls(opt_cfg, task.nu)
+            cfg = type(self.controller.controller_cfg)()
+            cfg.set_override(name)
+            self.controller = Controller(cfg, task, optimizer)
+
+    def _on_optimizer(self, name: str) -> None:
+        with self._lock:
+            entry = self.controller.available_optimizers.get(name)
+            if entry is None:
+                warnings.warn(f"unknown optimizer '{name}'", stacklevel=1)
+                return
+            opt_cls, opt_cfg_cls = entry
+            task = self.controller.task
+            opt_cfg = opt_cfg_cls()
+            opt_cfg.set_override(task.name)
+            self.controller = Controller(
+                self.controller.controller_cfg, task, opt_cls(opt_cfg, task.nu)
+            )
+
+    def _on_reset(self, _msg: Any) -> None:
+        with self._lock:
+            self.controller.reset()
+
+    def _on_pause(self, _msg: Any) -> None:
+        with self._lock:
+            self._paused = not self._paused
+
+    def step_once(self) -> float | None:
+        """One plan step; returns plan time in seconds (None if skipped)."""
+        with self._lock:
+            if self._paused:
+                return None
+            state_msg: MujocoState | None = self.bus.read("states")
+            if state_msg is not None:
+                if state_msg.qpos.shape[0] != self.controller.model.nq:
+                    return None  # stale message from a prior task (dora/controller.py:117-124)
+                self.controller.update_states(state_msg)
+            t0 = time.perf_counter()
+            self.controller.update_action()
+            plan_time = time.perf_counter() - t0
+            self.bus.publish("controls", self.controller.spline_data)
+            self.bus.publish("plan_time", plan_time)
+            if self.controller.traces is not None:
+                self.bus.publish("traces", self.controller.traces)
+            return plan_time
+
+    def spin(self) -> None:
+        while not self._stop.is_set():
+            t0 = time.perf_counter()
+            self.step_once()
+            period = 1.0 / self.controller.controller_cfg.control_freq
+            elapsed = time.perf_counter() - t0
+            if elapsed < period:
+                time.sleep(period - elapsed)
+
+    def stop(self) -> None:
+        self._stop.set()

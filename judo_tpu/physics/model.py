@@ -31,6 +31,8 @@ INT_EULER, INT_RK4, INT_IMPLICIT, INT_IMPLICITFAST = 0, 1, 2, 3
 SENSOR_FRAMEPOS = int(mujoco.mjtSensor.mjSENS_FRAMEPOS)
 SENSOR_FRAMEQUAT = int(mujoco.mjtSensor.mjSENS_FRAMEQUAT)
 SENSOR_FRAMELINVEL = int(mujoco.mjtSensor.mjSENS_FRAMELINVEL)
+SENSOR_JOINTPOS = int(mujoco.mjtSensor.mjSENS_JOINTPOS)
+SENSOR_JOINTVEL = int(mujoco.mjtSensor.mjSENS_JOINTVEL)
 
 _OBJ_BODY = int(mujoco.mjtObj.mjOBJ_BODY)
 _OBJ_XBODY = int(mujoco.mjtObj.mjOBJ_XBODY)
@@ -178,10 +180,10 @@ def _collision_pairs(m: mujoco.MjModel) -> Tuple[Tuple[int, int], ...]:
             b1, b2 = m.geom_bodyid[g1], m.geom_bodyid[g2]
             if weld[b1] == weld[b2]:
                 continue
-            # parent-child exclusion (unless one is the world body)
+            # parent-child exclusion (unless the parent weld is the world)
             wp1 = weld[m.body_parentid[weld[b1]]]
             wp2 = weld[m.body_parentid[weld[b2]]]
-            if (wp1 == weld[b2] and b2 != 0) or (wp2 == weld[b1] and b1 != 0):
+            if (wp1 == weld[b2] and weld[b2] != 0) or (wp2 == weld[b1] and weld[b1] != 0):
                 continue
             # contype/conaffinity compatibility
             if not (

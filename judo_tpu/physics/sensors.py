@@ -14,6 +14,8 @@ from judo_tpu.ops.math import quat_mul
 from judo_tpu.physics.model import (
     SENSOR_FRAMEPOS,
     SENSOR_FRAMEQUAT,
+    SENSOR_JOINTPOS,
+    SENSOR_JOINTVEL,
     _OBJ_BODY,
     _OBJ_SITE,
     _OBJ_XBODY,
@@ -22,7 +24,9 @@ from judo_tpu.physics.model import (
 from judo_tpu.physics.smooth import Kinematics
 
 
-def evaluate_sensors(m: PhysicsModel, kin: Kinematics) -> jnp.ndarray:
+def evaluate_sensors(
+    m: PhysicsModel, kin: Kinematics, qpos: jnp.ndarray | None = None, qvel: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Flat (nsensordata,) vector matching MuJoCo's sensordata layout."""
     dtype = kin.xpos.dtype
     out = jnp.zeros(m.nsensordata, dtype)
@@ -31,7 +35,11 @@ def evaluate_sensors(m: PhysicsModel, kin: Kinematics) -> jnp.ndarray:
         objtype = m.sensor_objtype[i]
         objid = m.sensor_objid[i]
         adr = m.sensor_adr[i]
-        if stype == SENSOR_FRAMEPOS:
+        if stype == SENSOR_JOINTPOS and qpos is not None:
+            out = out.at[adr].set(qpos[m.jnt_qposadr[objid]])
+        elif stype == SENSOR_JOINTVEL and qvel is not None:
+            out = out.at[adr].set(qvel[m.jnt_dofadr[objid]])
+        elif stype == SENSOR_FRAMEPOS:
             if objtype == _OBJ_SITE:
                 val = kin.site_xpos[objid]
             elif objtype in (_OBJ_BODY, _OBJ_XBODY):

@@ -9,10 +9,13 @@ pyramidal friction cone, and solves the dual box-constrained QP
 
 with fixed-iteration accelerated projected gradient descent (APGD). Unlike
 sequential Gauss-Seidel sweeps, every APGD iteration is a dense matvec —
-the formulation that vectorizes across the rollout batch on TPU. Constraint
-counts are static (collision.py), so the whole solve jits into a fixed graph.
+the formulation that vectorizes across the rollout batch on TPU.
 
-qacc = qacc_smooth + M^-1 J^T f recovers the constrained acceleration.
+Assembly is fully vectorized over the (static-size) contact set: the per-row
+Jacobians, impedances and regularizers are computed as batched tensor ops, so
+the HLO graph size is independent of the number of contacts — which keeps
+both compile time and TPU sequential-op overhead flat as scenes grow
+(leap_cube has ~70 contact slots; a per-contact Python loop was ~10x the ops).
 """
 
 from __future__ import annotations
@@ -21,9 +24,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from judo_tpu.physics.collision import Contacts
-from judo_tpu.physics.model import HINGE, SLIDE, PhysicsModel, PhysicsState
+from judo_tpu.physics.model import HINGE, SLIDE, PhysicsModel
 from judo_tpu.physics.smooth import ComQuants, Kinematics
 
 _MINIMP, _MAXIMP = 1e-4, 0.9999
@@ -38,7 +42,7 @@ class ConstraintRows(NamedTuple):
 
 
 def impedance(solimp: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """MuJoCo's constraint impedance d(r) (soft-constraint model docs)."""
+    """MuJoCo's constraint impedance d(r), batched over leading dims."""
     dmin, dmax, width, mid, power = (
         solimp[..., 0], solimp[..., 1], solimp[..., 2], solimp[..., 3], solimp[..., 4],
     )
@@ -70,18 +74,17 @@ def kb_from_solref(
     return k, b
 
 
-def _point_jacobian(
-    m: PhysicsModel, com: ComQuants, point: jnp.ndarray, body1: int, body2: int
-) -> jnp.ndarray:
-    """(3, nv) Jacobian of the relative linear velocity v(body2) - v(body1)
-    at a world point, from the CoM-centered dof axes."""
-    arm2 = point - com.subtree_com[m.body_rootid[body2]]
-    arm1 = point - com.subtree_com[m.body_rootid[body1]]
-    lin2 = com.cdof[:, 3:] + jnp.cross(com.cdof[:, :3], arm2[None, :])
-    lin1 = com.cdof[:, 3:] + jnp.cross(com.cdof[:, :3], arm1[None, :])
-    mask2 = m.body_dof_mask[body2][:, None]
-    mask1 = m.body_dof_mask[body1][:, None]
-    return (mask2 * lin2 - mask1 * lin1).T
+def _limit_meta(m: PhysicsModel):
+    """Static per-limit metadata (dof index, side) as numpy arrays."""
+    dofs, sides, jids = [], [], []
+    for j in range(m.njnt if m.limit_enabled else 0):
+        if not m.jnt_limited[j] or m.jnt_type[j] not in (SLIDE, HINGE):
+            continue
+        for sgn in (1.0, -1.0):
+            jids.append(j)
+            dofs.append(m.jnt_dofadr[j])
+            sides.append(sgn)
+    return np.asarray(jids, np.int32), np.asarray(dofs, np.int32), np.asarray(sides)
 
 
 def assemble_constraints(
@@ -91,69 +94,101 @@ def assemble_constraints(
     qpos: jnp.ndarray,
     qvel: jnp.ndarray,
 ) -> ConstraintRows:
-    """Build efc rows: joint limits, then pyramidal contact facets."""
+    """Build efc rows (joint limits, then pyramidal contact facets), batched."""
     dtype = qvel.dtype
-    Js, arefs, regs, actives = [], [], [], []
+    blocks_J, blocks_aref, blocks_reg, blocks_active = [], [], [], []
 
-    # --- joint limits on scalar joints (mj_instantiateLimit semantics) ---
-    for j in range(m.njnt if m.limit_enabled else 0):
-        if not m.jnt_limited[j] or m.jnt_type[j] not in (SLIDE, HINGE):
-            continue
-        qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-        margin = m.jnt_margin[j]
-        k, b = kb_from_solref(m.jnt_solref[j], m.jnt_solimp[j], m.timestep)
-        inv_w = m.dof_invweight0[dadr]
-        for sgn in (1.0, -1.0):
-            # lower bound: dist = q - lo (J = +e); upper: dist = hi - q (J = -e)
-            dist = jnp.where(sgn > 0, qpos[qadr] - m.jnt_range[j, 0], m.jnt_range[j, 1] - qpos[qadr])
-            pos = dist - margin
-            imp = impedance(m.jnt_solimp[j], pos)
-            vel = sgn * qvel[dadr]
-            Js.append(jnp.zeros(m.nv, dtype).at[dadr].set(sgn))
-            arefs.append(-b * vel - k * imp * pos)
-            regs.append((1.0 - imp) / jnp.maximum(imp, _MINIMP) * inv_w)
-            actives.append((dist < margin).astype(dtype))
+    # --- joint limits (vectorized over the static limited-joint list) ---
+    jids, dofs, sides = _limit_meta(m)
+    if len(jids):
+        jids_a = jnp.asarray(jids)
+        dofs_a = jnp.asarray(dofs)
+        sides_a = jnp.asarray(sides, dtype)
+        qadr = jnp.asarray([m.jnt_qposadr[j] for j in jids])
+        lo = m.jnt_range[jids_a, 0]
+        hi = m.jnt_range[jids_a, 1]
+        margin = m.jnt_margin[jids_a]
+        q = qpos[qadr]
+        dist = jnp.where(sides_a > 0, q - lo, hi - q)
+        pos = dist - margin
+        imp = impedance(m.jnt_solimp[jids_a], pos)
+        k, b = kb_from_solref(m.jnt_solref[jids_a], m.jnt_solimp[jids_a], m.timestep)
+        vel = sides_a * qvel[dofs_a]
+        nl = len(jids)
+        J = jnp.zeros((nl, m.nv), dtype).at[jnp.arange(nl), dofs_a].set(sides_a)
+        blocks_J.append(J)
+        blocks_aref.append(-b * vel - k * imp * pos)
+        blocks_reg.append((1.0 - imp) / jnp.maximum(imp, _MINIMP) * m.dof_invweight0[dofs_a])
+        blocks_active.append((dist < margin).astype(dtype))
 
-    # --- contacts: pyramidal facets (condim-3; frictionless handled by mu~0) ---
+    # --- contacts: pyramidal facets, vectorized over all slots ---
     ncon = contacts.dist.shape[0]
-    for c in range(ncon):
-        b1, b2 = contacts.body1[c], contacts.body2[c]
-        jac = _point_jacobian(m, com, contacts.pos[c], b1, b2)  # (3, nv)
-        n_row = contacts.frame[c, 0] @ jac
-        t1_row = contacts.frame[c, 1] @ jac
-        t2_row = contacts.frame[c, 2] @ jac
-        mu = contacts.friction[c]
-        pos = contacts.dist[c] - contacts.includemargin[c]
-        imp = impedance(contacts.solimp[c], pos)
-        k, b = kb_from_solref(contacts.solref[c], contacts.solimp[c], m.timestep)
-        active = (contacts.dist[c] < contacts.includemargin[c]).astype(dtype)
-        inv_w = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-        for t_row, s in ((t1_row, 1.0), (t1_row, -1.0), (t2_row, 1.0), (t2_row, -1.0)):
-            row = n_row + s * mu * t_row
-            vel = row @ qvel
-            Js.append(row)
-            arefs.append(-b * vel - k * imp * pos)
-            # pyramidal diagApprox (matches mj efc_R): 2*invw*mu^2*(1+mu^2)
-            diag_approx = jnp.maximum(2.0 * inv_w * mu * mu * (1.0 + mu * mu), _MINVAL)
-            regs.append((1.0 - imp) / jnp.maximum(imp, _MINIMP) * diag_approx)
-            actives.append(active)
+    if ncon:
+        b1 = np.asarray(contacts.body1, np.int32)
+        b2 = np.asarray(contacts.body2, np.int32)
+        root1 = np.asarray([m.body_rootid[b] for b in b1], np.int32)
+        root2 = np.asarray([m.body_rootid[b] for b in b2], np.int32)
 
-    if not Js:
+        arm1 = contacts.pos - com.subtree_com[jnp.asarray(root1)]  # (C, 3)
+        arm2 = contacts.pos - com.subtree_com[jnp.asarray(root2)]
+        cdof_ang = com.cdof[:, :3]  # (nv, 3)
+        cdof_lin = com.cdof[:, 3:]
+        # point jacobian per contact: (C, nv, 3)
+        lin1 = cdof_lin[None] + jnp.cross(cdof_ang[None], arm1[:, None, :])
+        lin2 = cdof_lin[None] + jnp.cross(cdof_ang[None], arm2[:, None, :])
+        mask1 = m.body_dof_mask[jnp.asarray(b1)][:, :, None]  # (C, nv, 1)
+        mask2 = m.body_dof_mask[jnp.asarray(b2)][:, :, None]
+        jac = mask2 * lin2 - mask1 * lin1  # (C, nv, 3)
+
+        # frame rows: (C, 3, nv) = frame (C,3,3) @ jac^T
+        rows3 = jnp.einsum("cfk,cvk->cfv", contacts.frame, jac)
+        n_row, t1_row, t2_row = rows3[:, 0], rows3[:, 1], rows3[:, 2]
+
+        mu = contacts.friction[:, None]  # (C, 1)
+        # pyramid: [n+mu t1, n-mu t1, n+mu t2, n-mu t2] -> (C, 4, nv)
+        pyr = jnp.stack(
+            [
+                n_row + mu * t1_row,
+                n_row - mu * t1_row,
+                n_row + mu * t2_row,
+                n_row - mu * t2_row,
+            ],
+            axis=1,
+        )
+        pos = contacts.dist - contacts.includemargin  # (C,)
+        imp = impedance(contacts.solimp, pos)
+        k, b = kb_from_solref(contacts.solref, contacts.solimp, m.timestep)
+        vel = jnp.einsum("crv,v->cr", pyr, qvel)  # (C, 4)
+        aref = -b[:, None] * vel - (k * imp * pos)[:, None]
+        inv_w = m.body_invweight0[jnp.asarray(b1), 0] + m.body_invweight0[jnp.asarray(b2), 0]
+        mu_s = contacts.friction
+        diag_approx = jnp.maximum(2.0 * inv_w * mu_s * mu_s * (1.0 + mu_s * mu_s), _MINVAL)
+        reg = ((1.0 - imp) / jnp.maximum(imp, _MINIMP) * diag_approx)[:, None].repeat(4, 1)
+        active = (contacts.dist < contacts.includemargin).astype(dtype)[:, None].repeat(4, 1)
+
+        blocks_J.append(pyr.reshape(ncon * 4, m.nv))
+        blocks_aref.append(aref.reshape(-1))
+        blocks_reg.append(reg.reshape(-1))
+        blocks_active.append(active.reshape(-1))
+
+    if not blocks_J:
         return ConstraintRows(
             jnp.zeros((0, m.nv), dtype), jnp.zeros(0, dtype), jnp.ones(0, dtype), jnp.zeros(0, dtype)
         )
-    return ConstraintRows(jnp.stack(Js), jnp.stack(arefs), jnp.stack(regs), jnp.stack(actives))
+    return ConstraintRows(
+        jnp.concatenate(blocks_J, axis=0),
+        jnp.concatenate(blocks_aref),
+        jnp.concatenate(blocks_reg),
+        jnp.concatenate(blocks_active),
+    )
 
 
-def solve_dual_qp(
-    A: jnp.ndarray, b: jnp.ndarray, iterations: int
-) -> jnp.ndarray:
+def solve_dual_qp(A: jnp.ndarray, b: jnp.ndarray, iterations: int) -> jnp.ndarray:
     """min_{f>=0} 0.5 f^T A f + f^T b via APGD (Nesterov + adaptive restart)."""
     dtype = b.dtype
     nefc = b.shape[0]
     if nefc == 0:
         return b
-    # Lipschitz bound: infinity norm of symmetric A
     L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=1)), _MINVAL)
     step = 1.0 / L
 
@@ -163,7 +198,6 @@ def solve_dual_qp(
         f_new = jnp.maximum(y - step * grad, 0.0)
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         y_new = f_new + ((t - 1.0) / t_new) * (f_new - f)
-        # adaptive restart on non-descent
         restart = jnp.dot(grad, f_new - f) > 0
         y_new = jnp.where(restart, f_new, y_new)
         t_new = jnp.where(restart, jnp.asarray(1.0, dtype), t_new)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from judo_tpu.ops.math import quat_integrate
-from judo_tpu.physics.model import BALL, FREE, HINGE, SLIDE, PhysicsModel, PhysicsState
+from judo_tpu.physics.model import BALL, FREE, HINGE, INT_IMPLICITFAST, SLIDE, PhysicsModel, PhysicsState
 from judo_tpu.physics import smooth
 from judo_tpu.physics.sensors import evaluate_sensors
 
@@ -56,7 +56,7 @@ def forward(m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray) -> ForwardResul
     else:
         qacc = qacc_smooth
 
-    sensordata = evaluate_sensors(m, kin)
+    sensordata = evaluate_sensors(m, kin, s.qpos, s.qvel)
     return ForwardResult(qacc, qfrc_smooth, mm, kin, sensordata)
 
 
@@ -83,13 +83,27 @@ def step_with_forward(
 ) -> tuple[PhysicsState, ForwardResult]:
     """One physics step, also returning the forward-dynamics intermediates.
 
-    Matches MuJoCo's Euler integrator including the implicit-in-velocity
-    damping update on the increment: (M + h*diag(damping)) (v' - v) = h M qacc.
+    Integrators:
+    - Euler (MuJoCo default): implicit-in-velocity joint damping,
+      (M + h*diag(damping)) (v' - v) = h M qacc.
+    - implicitfast: additionally folds actuator velocity-bias derivatives
+      (position-actuator kv, biasprm[2]) into the implicit matrix — the terms
+      MuJoCo's mj_implicitSkip keeps after dropping the RNE derivative.
     """
     h = m.timestep
     res = forward(m, s, ctrl)
 
-    mh = res.mass_matrix + h * jnp.diag(m.dof_damping)
+    damp = m.dof_damping
+    if m.integrator == INT_IMPLICITFAST:
+        act_kv = jnp.zeros(m.nv, damp.dtype)
+        for u in range(m.nu):
+            j = m.actuator_trnid[u]
+            dadr = m.jnt_dofadr[j]
+            gear = m.actuator_gear[u, 0]
+            act_kv = act_kv.at[dadr].add(-m.actuator_biasprm[u, 2] * gear * gear)
+        damp = damp + act_kv
+
+    mh = res.mass_matrix + h * jnp.diag(damp)
     dv = jax.scipy.linalg.cho_solve(
         jax.scipy.linalg.cho_factor(mh), h * (res.mass_matrix @ res.qacc)
     )
@@ -109,12 +123,21 @@ class RolloutOutput(NamedTuple):
     sensordata: jnp.ndarray  # (T, nsensordata)
 
 
+def default_unroll(m: PhysicsModel) -> int:
+    """Scan-unroll heuristic: unrolling amortizes TPU per-op scheduling
+    overhead (~20% on small scenes) but multiplies graph size, which is
+    expensive through the remote compiler — contact-rich scenes stay at 1."""
+    from judo_tpu.physics.collision import num_contact_slots
+
+    return 5 if num_contact_slots(m) <= 16 else 1
+
+
 def rollout(
     m: PhysicsModel,
     s0: PhysicsState,
     controls: jnp.ndarray,
     physics_substeps: int = 1,
-    unroll: int = 5,
+    unroll: int | None = None,
 ) -> RolloutOutput:
     """Roll out a control sequence from one initial state.
 
@@ -136,7 +159,7 @@ def rollout(
             s, res = step_with_forward(m, s, ctrl)
         return s, (jnp.concatenate([s.qpos, s.qvel]), res.sensordata)
 
-    # moderate unroll amortizes TPU per-op scheduling overhead across steps
-    # (measured ~20% on the tunneled v5e; large unrolls regress)
+    if unroll is None:
+        unroll = default_unroll(m)
     _, (states, sensors) = jax.lax.scan(body, s0, controls, unroll=min(unroll, controls.shape[0]))
     return RolloutOutput(states, sensors)

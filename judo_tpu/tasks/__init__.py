@@ -5,6 +5,7 @@ from typing import Type
 from judo_tpu.tasks.base import Task, TaskConfig
 from judo_tpu.tasks.cartpole import Cartpole, CartpoleConfig
 from judo_tpu.tasks.cylinder_push import CylinderPush, CylinderPushConfig
+from judo_tpu.tasks.leap_cube import LeapCube, LeapCubeConfig
 
 _registered_tasks: dict[str, tuple[Type[Task], Type[TaskConfig]]] = {}
 
@@ -19,7 +20,7 @@ def get_registered_tasks() -> dict[str, tuple[Type[Task], Type[TaskConfig]]]:
     return _registered_tasks
 
 
-for _cls in (Cartpole, CylinderPush):
+for _cls in (Cartpole, CylinderPush, LeapCube):
     register_task(_cls.name, _cls)
 
 __all__ = [
@@ -27,6 +28,8 @@ __all__ = [
     "CartpoleConfig",
     "CylinderPush",
     "CylinderPushConfig",
+    "LeapCube",
+    "LeapCubeConfig",
     "Task",
     "TaskConfig",
     "get_registered_tasks",

@@ -1,0 +1,143 @@
+"""Backend-agnostic 3D scene extraction from a compiled MjModel.
+
+The reference's ViserMjModel (judo/visualizers/model.py:38-302) converts an
+MjSpec into viser scene nodes: a frame per body, primitive/mesh geoms with
+materials, and gold/purple elite trace segments. This module produces the
+same structure as plain dataclasses; a render backend (viser when installed,
+or any client speaking the dict form) consumes it, and ``set_data`` updates
+poses from sim states.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import mujoco
+import numpy as np
+
+# trace colors (reference: elite gold, rest purple — visualizers/model.py:195-241)
+TRACE_ELITE_RGBA = (1.0, 0.84, 0.0, 1.0)
+TRACE_OTHER_RGBA = (0.5, 0.2, 0.8, 1.0)
+
+_GEOM_TYPE_NAMES = {
+    int(mujoco.mjtGeom.mjGEOM_PLANE): "plane",
+    int(mujoco.mjtGeom.mjGEOM_SPHERE): "sphere",
+    int(mujoco.mjtGeom.mjGEOM_CAPSULE): "capsule",
+    int(mujoco.mjtGeom.mjGEOM_CYLINDER): "cylinder",
+    int(mujoco.mjtGeom.mjGEOM_BOX): "box",
+    int(mujoco.mjtGeom.mjGEOM_ELLIPSOID): "ellipsoid",
+    int(mujoco.mjtGeom.mjGEOM_MESH): "mesh",
+}
+
+
+@dataclass
+class SceneGeom:
+    name: str
+    body: str
+    geom_type: str
+    size: np.ndarray
+    pos: np.ndarray  # local offset in body frame
+    quat: np.ndarray
+    rgba: np.ndarray
+
+
+@dataclass
+class SceneBody:
+    name: str
+    body_id: int
+    xpos: np.ndarray
+    xquat: np.ndarray
+    geoms: list[SceneGeom] = field(default_factory=list)
+
+
+@dataclass
+class SceneModel:
+    """Body tree + geoms + live trace segments, updatable from sim states."""
+
+    bodies: list[SceneBody]
+    traces: np.ndarray | None = None  # (n, 2, 3) line segments
+    num_elite_traces: int = 0
+
+    def set_data(self, xpos: np.ndarray, xquat: np.ndarray) -> None:
+        """FK update per body (ViserMjModel.set_data semantics)."""
+        for b in self.bodies:
+            b.xpos = xpos[b.body_id]
+            b.xquat = xquat[b.body_id]
+
+    def set_traces(self, segments: np.ndarray | None, num_elite: int = 0) -> None:
+        self.traces = segments
+        self.num_elite_traces = num_elite
+
+    def to_dict(self) -> dict[str, Any]:
+        """Wire form for web/remote clients."""
+        return {
+            "bodies": [
+                {
+                    "name": b.name,
+                    "xpos": b.xpos.tolist(),
+                    "xquat": b.xquat.tolist(),
+                    "geoms": [
+                        {
+                            "name": g.name,
+                            "type": g.geom_type,
+                            "size": g.size.tolist(),
+                            "pos": g.pos.tolist(),
+                            "quat": g.quat.tolist(),
+                            "rgba": g.rgba.tolist(),
+                        }
+                        for g in b.geoms
+                    ],
+                }
+                for b in self.bodies
+            ],
+            "traces": None if self.traces is None else self.traces.tolist(),
+        }
+
+
+def build_scene(model: mujoco.MjModel, show_collision_geoms: bool = True) -> SceneModel:
+    """Extract the render scene from a compiled model."""
+    bodies: list[SceneBody] = []
+    body_geoms: dict[int, list[SceneGeom]] = {i: [] for i in range(model.nbody)}
+
+    for g in range(model.ngeom):
+        gtype = _GEOM_TYPE_NAMES.get(int(model.geom_type[g]))
+        if gtype is None or gtype == "mesh":
+            continue  # meshes unsupported in the mesh-free build
+        if not show_collision_geoms and model.geom_contype[g] != 0:
+            continue
+        name = mujoco.mj_id2name(model, mujoco.mjtObj.mjOBJ_GEOM, g) or f"geom_{g}"
+        body_id = int(model.geom_bodyid[g])
+        body_geoms[body_id].append(
+            SceneGeom(
+                name=name,
+                body=mujoco.mj_id2name(model, mujoco.mjtObj.mjOBJ_BODY, body_id) or f"body_{body_id}",
+                geom_type=gtype,
+                size=model.geom_size[g].copy(),
+                pos=model.geom_pos[g].copy(),
+                quat=model.geom_quat[g].copy(),
+                rgba=model.geom_rgba[g].copy(),
+            )
+        )
+
+    for b in range(model.nbody):
+        name = mujoco.mj_id2name(model, mujoco.mjtObj.mjOBJ_BODY, b) or f"body_{b}"
+        bodies.append(
+            SceneBody(
+                name=name,
+                body_id=b,
+                xpos=model.body_pos[b].copy(),
+                xquat=model.body_quat[b].copy(),
+                geoms=body_geoms[b],
+            )
+        )
+    return SceneModel(bodies=bodies)
+
+
+def trace_segments_to_scene(
+    scene: SceneModel, traces: np.ndarray, num_trace_sensors: int, sensor_rollout_size: int
+) -> None:
+    """Attach controller trace segments; the first rollout's segments are the
+    elites (controller packs best-first — judo/controller/controller.py:336)."""
+    num_elite = num_trace_sensors * sensor_rollout_size
+    scene.set_traces(traces, num_elite=min(num_elite, traces.shape[0]))

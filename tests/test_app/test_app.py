@@ -1,0 +1,116 @@
+"""App-layer tests: bus, nodes, benchmark harness, CLI parser."""
+
+import numpy as np
+import pytest
+
+from judo_tpu.app.benchmark import format_table, run_benchmark
+from judo_tpu.app.bus import MessageBus
+from judo_tpu.app.nodes import ControllerNode, SimulationNode
+
+
+def test_bus_latest_wins():
+    bus = MessageBus()
+    bus.publish("x", 1)
+    bus.publish("x", 2)
+    assert bus.read("x") == 2
+    seen = []
+    bus.subscribe("y", seen.append)
+    bus.publish("y", "a")
+    bus.publish("y", "b")
+    assert seen == ["a", "b"]
+    _, seq = bus.read_versioned("x")
+    assert seq == 2
+
+
+def test_sim_and_controller_nodes_closed_loop():
+    np.random.seed(0)
+    bus = MessageBus()
+    sim_node = SimulationNode(bus, "cartpole")
+    ctrl_node = ControllerNode(bus, "cartpole", "ps")
+    for _ in range(5):
+        sim_node.step_once()
+        plan_time = ctrl_node.step_once()
+    assert plan_time is not None and plan_time > 0
+    state = bus.read("states")
+    assert state is not None and state.qpos.shape == (2,)
+    spline = bus.read("controls")
+    assert spline is not None
+    cmd = spline.spline()(state.time)
+    assert cmd.shape == (1,)
+    assert bus.read("plan_time") > 0
+
+
+def test_node_task_switch_guards_stale_states():
+    np.random.seed(0)
+    bus = MessageBus()
+    sim_node = SimulationNode(bus, "cartpole")
+    ctrl_node = ControllerNode(bus, "cartpole", "ps")
+    sim_node.step_once()
+    ctrl_node.step_once()
+    # switch controller to a different task; old states (nq=2) must be ignored
+    ctrl_node._on_task("cylinder_push")
+    assert ctrl_node.controller.task.name == "cylinder_push"
+    out = ctrl_node.step_once()  # stale cartpole state on the bus -> skip
+    assert out is None
+    # after sim also switches, planning resumes
+    sim_node._on_task("cylinder_push")
+    sim_node.step_once()
+    assert ctrl_node.step_once() is not None
+
+
+def test_pause_resume():
+    np.random.seed(0)
+    bus = MessageBus()
+    sim_node = SimulationNode(bus, "cartpole")
+    d = sim_node.sim.task.data
+    q0 = d.qpos.copy()
+    sim_node._on_pause(None)
+    sim_node.step_once()
+    np.testing.assert_array_equal(d.qpos, q0)  # paused: no motion
+    sim_node._on_pause(None)
+    sim_node.step_once()
+    assert not np.array_equal(d.qpos, q0)
+
+
+def test_benchmark_harness_runs_and_formats():
+    np.random.seed(0)
+    results = run_benchmark(tasks=["cartpole"], optimizers=["ps"], num_samples=5, warmup=1)
+    assert len(results) == 1
+    r = results[0]
+    assert r.times_s.shape == (5,)
+    stats = r.stats
+    assert stats["median"] > 0 and stats["p95"] >= stats["median"]
+    table = format_table(results)
+    assert "cartpole" in table and "ps" in table
+
+
+def test_cli_parser():
+    from judo_tpu.cli import build_parser
+
+    p = build_parser()
+    args = p.parse_args(["run", "--task", "cartpole", "--optimizer", "mppi", "--seconds", "3"])
+    assert args.task == "cartpole" and args.optimizer == "mppi"
+    args = p.parse_args(["benchmark", "--tasks", "cartpole", "--num-samples", "10"])
+    assert args.num_samples == 10
+
+
+def test_simulation_backends_registry():
+    from judo_tpu.simulation import get_simulation_backend
+
+    assert get_simulation_backend("mujoco").__name__ == "MJSimulation"
+    assert get_simulation_backend("judo_tpu").__name__ == "JTSimulation"
+    with pytest.raises(ValueError):
+        get_simulation_backend("nope")
+
+
+def test_jt_simulation_steps():
+    np.random.seed(0)
+    from judo_tpu.simulation import get_simulation_backend
+    from judo_tpu.tasks import Cartpole
+
+    sim = get_simulation_backend("judo_tpu")(Cartpole())
+    q0 = sim.task.data.qpos.copy()
+    for _ in range(3):
+        sim.step(np.zeros(1))
+    assert not np.array_equal(sim.task.data.qpos, q0)
+    assert sim.sim_state.qpos.shape == (2,)
