@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-TASK = "cylinder_push"  # TODO(leap_cube): switch when the leap task lands
+TASK = "leap_cube"  # the BASELINE north-star task
 OPTIMIZER = "mppi"
 REF_NUM_ROLLOUTS = 32  # reference override for this task (optimizers/overrides.py)
 OUR_NUM_ROLLOUTS = 320  # 10x, per the BASELINE north-star
@@ -65,33 +65,35 @@ def bench_reference_equivalent() -> dict:
     import mujoco.rollout
     from scipy.interpolate import interp1d
 
-    from judo_tpu import MODEL_PATH
+    from judo_tpu.tasks import get_registered_tasks
 
-    model = mujoco.MjModel.from_xml_path(str(MODEL_PATH / "xml" / f"{TASK}.xml"))
+    task_cls, _ = get_registered_tasks()[TASK]
+    task = task_cls()
+    model = task.model
     R = REF_NUM_ROLLOUTS
     models = [model] * R
     datas = [mujoco.MjData(model) for _ in range(R)]
     rollout_obj = mujoco.rollout.Rollout(nthread=R)
 
-    horizon, num_nodes, sigma = 1.0, 4, 0.1
+    horizon, num_nodes, sigma = 1.0, 4, 0.2
     T = int(np.ceil(horizon / model.opt.timestep))
     nu = model.nu
     rng = np.random.default_rng(0)
-    nominal = np.zeros((num_nodes, nu))
-    x0 = np.zeros(model.nq + model.nv)
+    nominal = np.tile(task.optimizer_warm_start(), (num_nodes, 1))
+    x0 = np.concatenate([task.data.qpos, task.data.qvel])
 
     def plan_once(t0: float) -> np.ndarray:
         times = t0 + np.linspace(0, horizon, num_nodes)
         knots = np.concatenate(
             [nominal[None], nominal[None] + sigma * rng.standard_normal((R - 1, num_nodes, nu))]
         )
-        spline = interp1d(times, knots, kind="zero", axis=-2, bounds_error=False,
+        spline = interp1d(times, knots, kind="cubic", axis=-2, bounds_error=False,
                           fill_value=(knots[..., 0, :], knots[..., -1, :]))
         controls = spline(t0 + model.opt.timestep * np.arange(T))
         full_state = np.tile(np.concatenate([[t0], x0]), (R, 1))
         state, sens = rollout_obj.rollout(models, datas, full_state, control=controls)
         # reward: same arithmetic class as the task's (quadratic forms)
-        rewards = -0.5 * np.square(state[..., 1:5]).sum(-1).sum(-1)
+        rewards = -0.5 * np.square(state[..., 1:8]).sum(-1).sum(-1)
         return knots[np.argmax(rewards)]
 
     for _ in range(WARMUP):

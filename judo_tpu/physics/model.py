@@ -33,6 +33,9 @@ SENSOR_FRAMEQUAT = int(mujoco.mjtSensor.mjSENS_FRAMEQUAT)
 SENSOR_FRAMELINVEL = int(mujoco.mjtSensor.mjSENS_FRAMELINVEL)
 SENSOR_JOINTPOS = int(mujoco.mjtSensor.mjSENS_JOINTPOS)
 SENSOR_JOINTVEL = int(mujoco.mjtSensor.mjSENS_JOINTVEL)
+SENSOR_FRAMEXAXIS = int(mujoco.mjtSensor.mjSENS_FRAMEXAXIS)
+SENSOR_FRAMEYAXIS = int(mujoco.mjtSensor.mjSENS_FRAMEYAXIS)
+SENSOR_FRAMEZAXIS = int(mujoco.mjtSensor.mjSENS_FRAMEZAXIS)
 
 _OBJ_BODY = int(mujoco.mjtObj.mjOBJ_BODY)
 _OBJ_XBODY = int(mujoco.mjtObj.mjOBJ_XBODY)
@@ -92,6 +95,8 @@ class PhysicsModel:
     sensor_objid: Tuple[int, ...] = struct.field(pytree_node=False)
     sensor_adr: Tuple[int, ...] = struct.field(pytree_node=False)
     sensor_dim: Tuple[int, ...] = struct.field(pytree_node=False)
+    sensor_reftype: Tuple[int, ...] = struct.field(pytree_node=False)
+    sensor_refid: Tuple[int, ...] = struct.field(pytree_node=False)
     # Candidate collision pairs, precomputed at lowering: tuple of (g1, g2).
     collision_pairs: Tuple[Tuple[int, int], ...] = struct.field(pytree_node=False)
 
@@ -278,6 +283,8 @@ def put_model(
         sensor_objid=_t(m.sensor_objid),
         sensor_adr=_t(m.sensor_adr),
         sensor_dim=_t(m.sensor_dim),
+        sensor_reftype=_t(m.sensor_reftype),
+        sensor_refid=_t(m.sensor_refid),
         collision_pairs=_collision_pairs(m),
         timestep=a(m.opt.timestep),
         gravity=a(m.opt.gravity),

@@ -14,6 +14,9 @@ from judo_tpu.ops.math import quat_mul
 from judo_tpu.physics.model import (
     SENSOR_FRAMEPOS,
     SENSOR_FRAMEQUAT,
+    SENSOR_FRAMEXAXIS,
+    SENSOR_FRAMEYAXIS,
+    SENSOR_FRAMEZAXIS,
     SENSOR_JOINTPOS,
     SENSOR_JOINTVEL,
     _OBJ_BODY,
@@ -46,6 +49,19 @@ def evaluate_sensors(
                 val = kin.xipos[objid] if objtype == _OBJ_BODY else kin.xpos[objid]
             else:
                 continue  # unsupported frame object: leave zeros
+            # relative to a reference frame when specified (mjSENS_FRAMEPOS ref)
+            refid = m.sensor_refid[i]
+            if refid >= 0 and m.sensor_reftype[i] == _OBJ_SITE:
+                val = kin.site_xmat[refid].T @ (val - kin.site_xpos[refid])
+            out = out.at[adr : adr + 3].set(val)
+        elif stype in (SENSOR_FRAMEXAXIS, SENSOR_FRAMEYAXIS, SENSOR_FRAMEZAXIS):
+            col = {SENSOR_FRAMEXAXIS: 0, SENSOR_FRAMEYAXIS: 1, SENSOR_FRAMEZAXIS: 2}[stype]
+            if objtype == _OBJ_SITE:
+                val = kin.site_xmat[objid][:, col]
+            elif objtype in (_OBJ_BODY, _OBJ_XBODY):
+                val = kin.xmat[objid][:, col]
+            else:
+                continue
             out = out.at[adr : adr + 3].set(val)
         elif stype == SENSOR_FRAMEQUAT:
             if objtype == _OBJ_SITE:

@@ -183,18 +183,46 @@ def assemble_constraints(
     )
 
 
-def solve_dual_qp(A: jnp.ndarray, b: jnp.ndarray, iterations: int) -> jnp.ndarray:
-    """min_{f>=0} 0.5 f^T A f + f^T b via APGD (Nesterov + adaptive restart)."""
+def solve_dual_qp_matfree(
+    J: jnp.ndarray,  # (nefc, nv)
+    minv_jt: jnp.ndarray,  # (nv, nefc)
+    reg: jnp.ndarray,  # (nefc,)
+    b: jnp.ndarray,  # (nefc,)
+    iterations: int,
+) -> jnp.ndarray:
+    """min_{f>=0} 0.5 f^T (J M^-1 J^T + diag(reg)) f + f^T b via APGD.
+
+    Matrix-free: the dual operator is applied as two (nefc, nv) matvecs
+    instead of materializing the (nefc, nefc) Delassus matrix — for
+    contact-rich scenes (nefc ~ 300, nv ~ 25) this cuts FLOPs and HBM
+    traffic by ~nefc/(2 nv), which dominates the rollout cost on TPU.
+    The Lipschitz constant comes from a short power iteration.
+    """
     dtype = b.dtype
     nefc = b.shape[0]
     if nefc == 0:
         return b
-    L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=1)), _MINVAL)
+
+    def apply_A(f):
+        return J @ (minv_jt @ f) + reg * f
+
+    # Safe Lipschitz upper bound without materializing A:
+    #   ||J K||_2 <= sqrt(||J||_1 ||J||_inf) * sqrt(||K||_1 ||K||_inf)
+    # (Hoelder); both factors are cheap on the materialized (nefc, nv) J and
+    # (nv, nefc) K = M^-1 J^T. A lower-bound estimate (power iteration) is
+    # unsafe here: an underestimated L makes projected gradient diverge.
+    def op_bound(mat):
+        l1 = jnp.max(jnp.sum(jnp.abs(mat), axis=0))
+        linf = jnp.max(jnp.sum(jnp.abs(mat), axis=1))
+        return jnp.sqrt(jnp.maximum(l1 * linf, _MINVAL))
+
+    L = op_bound(J) * op_bound(minv_jt) + jnp.max(reg)
+    L = jnp.maximum(L, _MINVAL)
     step = 1.0 / L
 
     def body(carry, _):
         f, y, t = carry
-        grad = A @ y + b
+        grad = apply_A(y) + b
         f_new = jnp.maximum(y - step * grad, 0.0)
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         y_new = f_new + ((t - 1.0) / t_new) * (f_new - f)
@@ -230,7 +258,6 @@ def solve_contacts(
     reg = jnp.where(rows.active > 0, rows.reg, 1.0)
 
     minv_jt = jax.scipy.linalg.cho_solve(mm_factor, J.T)  # (nv, nefc)
-    A = J @ minv_jt + jnp.diag(reg)
     b = J @ qacc_smooth - aref
-    f = solve_dual_qp(A, b, iterations=max(m.solver_iterations, 8))
+    f = solve_dual_qp_matfree(J, minv_jt, reg, b, iterations=max(m.solver_iterations, 8))
     return qacc_smooth + minv_jt @ f

@@ -1,0 +1,157 @@
+"""Spot locomotion policy in the loop, pure JAX.
+
+Re-expresses the reference's C++ policy-in-the-loop rollout
+(mujoco_extensions/system/system_class.cpp:125-331) as a jitted scan:
+
+- 84-dim observation builder (setObservation, system_class.cpp:125-212):
+  [base linvel (body frame) 3, base angvel 3, projected gravity 3,
+   torso vel cmd 3, arm cmd 7, leg cmd 12, torso pos cmd 3,
+   (qpos-default) orbit 19, qvel orbit 19, last policy output 12]
+- MLP inference (the ONNX network lowered by native/onnx_extract)
+- control mapping (policyInference, system_class.cpp:215-246): legs =
+  default + orbit->mujoco(0.2 * policy_out), arm passthrough, first-nonzero
+  leg-command override (the C++ else-if chain, replicated faithfully)
+- per command: one policy call + ``physics_substeps`` physics steps (50 Hz
+  policy over 100 Hz physics), policy output carried across steps.
+
+The wall-clock cutoff watchdog (system_class.cpp:292-327) has no equivalent:
+TPU rollout time is deterministic, so the budget holds by construction
+(SURVEY §2.4 TPU-equivalents note).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from judo_tpu.ops.math import quat_inv, quat_rotate
+from judo_tpu.physics import PhysicsModel, PhysicsState
+from judo_tpu.physics.step import RolloutOutput, step_with_forward
+from judo_tpu.tasks.spot import spot_constants as sc
+from judo_tpu.utils.onnx_loader import MLPPolicy, mlp_from_onnx
+
+
+class SpotPolicy(NamedTuple):
+    """The locomotion MLP + static joint-ordering metadata."""
+
+    mlp: MLPPolicy
+    default_joint_pos: jnp.ndarray  # (19,)
+    mujoco_to_orbit: jnp.ndarray  # (19,) gather indices
+    orbit_to_mujoco_legs: jnp.ndarray  # (12,) gather indices
+
+    @staticmethod
+    def load(path: str | None = None, dtype=jnp.float32) -> "SpotPolicy":
+        if path is None:
+            for cand in sc.SPOT_LOCOMOTION_POLICY_CANDIDATES:
+                if str(cand) and __import__("pathlib").Path(cand).exists():
+                    path = str(cand)
+                    break
+        if path is None:
+            raise FileNotFoundError("spot_locomotion.onnx not found")
+        return SpotPolicy(
+            mlp=mlp_from_onnx(path, dtype),
+            default_joint_pos=jnp.asarray(sc.DEFAULT_JOINT_POS, dtype),
+            mujoco_to_orbit=jnp.asarray(sc.MUJOCO_TO_ORBIT, jnp.int32),
+            orbit_to_mujoco_legs=jnp.asarray(sc.ORBIT_TO_MUJOCO_LEGS, jnp.int32),
+        )
+
+
+def build_observation(
+    policy: SpotPolicy, qpos: jnp.ndarray, qvel: jnp.ndarray, command: jnp.ndarray,
+    last_policy_output: jnp.ndarray,
+) -> jnp.ndarray:
+    """84-dim policy observation from the current state + 25-dim command."""
+    dtype = qpos.dtype
+    base_quat = qpos[3:7]
+    inv_quat = quat_inv(base_quat)
+    linvel_body = quat_rotate(inv_quat, qvel[0:3])
+    angvel = qvel[3:6]  # free-joint angular velocity is already body-frame
+    gravity = quat_rotate(inv_quat, jnp.asarray([0.0, 0.0, -1.0], dtype))
+
+    joint_pos = (qpos[7:26] - policy.default_joint_pos)[policy.mujoco_to_orbit]
+    joint_vel = qvel[6:25][policy.mujoco_to_orbit]
+
+    return jnp.concatenate(
+        [
+            linvel_body,
+            angvel,
+            gravity,
+            command[0:3],  # torso vel cmd
+            command[3:10],  # arm cmd
+            command[10:22],  # leg cmd
+            command[22:25],  # torso pos cmd
+            joint_pos,
+            joint_vel,
+            last_policy_output,
+        ]
+    )
+
+
+def control_from_policy(
+    policy: SpotPolicy, policy_output: jnp.ndarray, command: jnp.ndarray
+) -> jnp.ndarray:
+    """19-dim mujoco ctrl from policy output + command (system_class.cpp:215-246)."""
+    legs = (0.2 * policy_output)[policy.orbit_to_mujoco_legs] + policy.default_joint_pos[:12]
+    # first-nonzero leg override (C++ else-if chain)
+    leg_cmd = command[10:22]
+    norms = jnp.stack([jnp.linalg.norm(leg_cmd[3 * i : 3 * i + 3]) for i in range(4)])
+    active = norms > 0
+    first = jnp.argmax(active)  # first True (0 if none; gated below)
+    any_active = jnp.any(active)
+    override_block = jax.lax.dynamic_slice(leg_cmd, (first * 3,), (3,))
+    legs = jnp.where(
+        any_active,
+        jax.lax.dynamic_update_slice(legs, override_block, (first * 3,)),
+        legs,
+    )
+    arm = command[3:10]
+    return jnp.concatenate([legs, arm])
+
+
+def spot_policy_step(
+    m: PhysicsModel,
+    policy: SpotPolicy,
+    s: PhysicsState,
+    command: jnp.ndarray,
+    last_policy_output: jnp.ndarray,
+    physics_substeps: int = 2,
+):
+    """One 50 Hz policy tick: observation -> MLP -> ctrl -> substeps physics."""
+    obs = build_observation(policy, s.qpos, s.qvel, command, last_policy_output)
+    policy_output = policy.mlp(obs)
+    ctrl = control_from_policy(policy, policy_output, command)
+    res = None
+    for _ in range(physics_substeps):
+        s, res = step_with_forward(m, s, ctrl)
+    return s, policy_output, res
+
+
+class PolicyRolloutOutput(NamedTuple):
+    states: jnp.ndarray  # (T, nq + nv)
+    sensordata: jnp.ndarray  # (T, nsensordata)
+    final_policy_output: jnp.ndarray  # (12,)
+
+
+def policy_rollout(
+    m: PhysicsModel,
+    policy: SpotPolicy,
+    s0: PhysicsState,
+    commands: jnp.ndarray,  # (T, 25)
+    last_policy_output: jnp.ndarray,  # (12,)
+    physics_substeps: int = 2,
+) -> PolicyRolloutOutput:
+    """The TPU equivalent of System::rollout / threadedRollout: scan over
+    commands with the policy in the loop; vmap for the candidate batch."""
+
+    def body(carry, cmd):
+        s, pout = carry
+        s, pout, res = spot_policy_step(m, policy, s, cmd, pout, physics_substeps)
+        return (s, pout), (jnp.concatenate([s.qpos, s.qvel]), res.sensordata)
+
+    (s_final, pout_final), (states, sensors) = jax.lax.scan(
+        body, (s0, last_policy_output), commands
+    )
+    return PolicyRolloutOutput(states, sensors, pout_final)
