@@ -60,6 +60,9 @@ class SolverState:
     opt_state: Any  # optimizer-specific (CEM sigma, ...)
     norm_state: Any  # running-normalizer statistics
     rng: jax.Array  # PRNG key
+    # locomotion-policy tasks carry the last policy output per rollout
+    # (reference: controller.py:86-88, _last_policy_output); () otherwise
+    last_policy_output: Any = ()
 
 
 class SolveOutputs(NamedTuple):
@@ -240,6 +243,8 @@ class Controller:
             )
             kind = "none"
         substeps = task.physics_substeps
+        uses_policy = task.uses_locomotion_policy
+        spot_policy = getattr(task, "policy", None) if uses_policy else None
         spline_ts = jnp.asarray(self.spline_timesteps, dtype)
         rollout_ts = jnp.asarray(self.rollout_times, dtype)
         ctrl_lo = jnp.asarray(task.actuator_ctrlrange[:, 0], dtype)
@@ -300,8 +305,19 @@ class Controller:
 
                 # roll out dynamics (:267-271): vmap over the candidate batch
                 sim_controls = task.task_to_sim_ctrl(rollout_controls)
-                out = jax.vmap(lambda c: rollout(pm, x0, c, physics_substeps=substeps))(sim_controls)
-                states, sensors = out.states, out.sensordata
+                if uses_policy:
+                    from judo_tpu.tasks.spot.policy import policy_rollout
+
+                    pout = carry.last_policy_output
+                    out = jax.vmap(
+                        lambda c, p: policy_rollout(pm, spot_policy, x0, c, p, substeps)
+                    )(sim_controls, pout)
+                    states, sensors = out.states, out.sensordata
+                    new_policy_output = out.final_policy_output
+                else:
+                    out = jax.vmap(lambda c: rollout(pm, x0, c, physics_substeps=substeps))(sim_controls)
+                    states, sensors = out.states, out.sensordata
+                    new_policy_output = carry.last_policy_output
 
                 rewards = task.reward(states, sensors, rollout_controls, task_params, metadata)
                 nominal_n, opt_state = optimizer.update(opt_params, opt_state, cand_n, rewards)
@@ -325,6 +341,7 @@ class Controller:
                 opt_state=opt_state,
                 norm_state=norm_state,
                 rng=rng,
+                last_policy_output=new_policy_output,
             )
             outputs = SolveOutputs(rewards, states, sensors, rollout_controls, candidates, traces)
             return new_carry, outputs
@@ -466,6 +483,11 @@ class Controller:
                 self.dtype,
             ),
             rng=jax.random.key(np.random.randint(0, 2**31 - 1)),
+            last_policy_output=(
+                jnp.zeros((self.optimizer_cfg.num_rollouts, 12), self.dtype)
+                if self.task.uses_locomotion_policy
+                else ()
+            ),
         )
         self.times = np.asarray(times0)
         self.nominal_knots = warm
@@ -474,6 +496,13 @@ class Controller:
 
     def _sync_state_shapes(self) -> None:
         """Re-shape carried state when GUI knobs changed node counts etc."""
+        if self.task.uses_locomotion_policy:
+            r = self.optimizer_cfg.num_rollouts
+            pout = self._carry.last_policy_output
+            if not isinstance(pout, tuple) and pout.shape[0] != r:
+                self._carry = self._carry.replace(
+                    last_policy_output=jnp.zeros((r, 12), self.dtype)
+                )
         n = self.optimizer_cfg.num_nodes
         if self._carry.nominal_knots.shape[0] != n:
             old_times = self._carry.times

@@ -6,6 +6,8 @@ from judo_tpu.tasks.base import Task, TaskConfig
 from judo_tpu.tasks.cartpole import Cartpole, CartpoleConfig
 from judo_tpu.tasks.cylinder_push import CylinderPush, CylinderPushConfig
 from judo_tpu.tasks.leap_cube import LeapCube, LeapCubeConfig
+from judo_tpu.tasks.spot.spot_base import SpotBase, SpotBaseConfig
+from judo_tpu.tasks.spot.spot_navigate import SpotNavigate, SpotNavigateConfig
 
 _registered_tasks: dict[str, tuple[Type[Task], Type[TaskConfig]]] = {}
 
@@ -20,7 +22,7 @@ def get_registered_tasks() -> dict[str, tuple[Type[Task], Type[TaskConfig]]]:
     return _registered_tasks
 
 
-for _cls in (Cartpole, CylinderPush, LeapCube):
+for _cls in (Cartpole, CylinderPush, LeapCube, SpotNavigate):
     register_task(_cls.name, _cls)
 
 __all__ = [
@@ -30,6 +32,10 @@ __all__ = [
     "CylinderPushConfig",
     "LeapCube",
     "LeapCubeConfig",
+    "SpotBase",
+    "SpotBaseConfig",
+    "SpotNavigate",
+    "SpotNavigateConfig",
     "Task",
     "TaskConfig",
     "get_registered_tasks",
