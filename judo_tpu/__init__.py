@@ -17,12 +17,18 @@ MODEL_PATH = PACKAGE_ROOT / "models"
 
 # Persistent XLA compilation cache: contact-rich solver graphs take minutes to
 # compile through the tunneled TPU toolchain; cache them across processes.
+#
+# TPU-platform only: with the remote-compile service in the loop, CPU
+# executables can come back AOT-compiled for the *server's* CPU (observed:
+# machine-feature mismatch warnings + ~40x slower execution), so CPU runs
+# (tests force jax_platforms=cpu) must not share this cache.
 try:  # pragma: no cover - best effort
     import jax
 
-    _cache_dir = os.environ.get("JUDO_TPU_COMPILE_CACHE", "/tmp/judo_tpu_xla_cache")
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+        _cache_dir = os.environ.get("JUDO_TPU_COMPILE_CACHE", "/tmp/judo_tpu_xla_cache")
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 except Exception:  # noqa: BLE001
     pass
 

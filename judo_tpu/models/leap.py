@@ -157,9 +157,18 @@ def _default_classes() -> str:
     return "\n".join(cls)
 
 
-def build_leap_cube_xml() -> str:
+def build_leap_cube_xml(
+    hand_quat: str = "0 0.9961947 0 -0.0871557",
+    hand_pos: str = "0 0 0",
+    cube_pos: str = "0.0 0.0 0.2",
+    goal_pos: str = "-0.1 -0.1 0.3",
+) -> str:
     """Full scene MJCF. Contact masks: cube contype=1/conaff=2, hand
-    contype=2/conaff=1 — hand-cube pairs collide, hand-hand does not."""
+    contype=2/conaff=1 — hand-cube pairs collide, hand-hand does not.
+
+    hand_quat/cube_pos parameterize the palm-up / palm-down / side-mount
+    scene variants (reference: leap_cube.xml / leap_cube_palm_down.xml /
+    caltech_leap_cube.xml top-level layouts)."""
     return f"""
 <mujoco model="leap_cube_tpu">
   <compiler angle="radian"/>
@@ -185,17 +194,17 @@ def build_leap_cube_xml() -> str:
   </default>
 
   <worldbody>
-    <body name="goal" pos="-0.1 -0.1 0.3" quat="1 0 0 0" mocap="true">
+    <body name="goal" pos="{goal_pos}" quat="1 0 0 0" mocap="true">
       <geom name="goal_vis" type="box" size="0.03 0.03 0.03" class="visual" rgba="0.4 0.8 0.4 0.5"/>
     </body>
 
-    <body name="cube" pos="0.0 0.0 0.2" quat="1 0 0 0">
+    <body name="cube" pos="{cube_pos}" quat="1 0 0 0">
       <freejoint/>
       <geom name="cube" class="cube_coll" type="box" size="0.03 0.03 0.03" mass="0.108"/>
       <site name="trace_cube" pos="0 0 0" size="0.01"/>
     </body>
 
-    <body name="leap_hand" pos="0 0 0" quat="0 0.9961947 0 -0.0871557">
+    <body name="leap_hand" pos="{hand_pos}" quat="{hand_quat}">
       <body name="palm" pos="0 0 0">
         <inertial pos="-0.049542 -0.042914 -0.010227" quat="0.565586 0.427629 -0.574956 0.408254"
                   mass="0.237" diaginertia="0.000407345 0.000304759 0.000180736"/>
@@ -215,10 +224,28 @@ def build_leap_cube_xml() -> str:
 """
 
 
-def leap_cube_xml_path() -> str:
-    """Write (once) and return the generated scene path."""
-    path = Path(__file__).parent / "xml" / "leap_cube.xml"
-    xml = build_leap_cube_xml()
+_VARIANTS = {
+    # palm-up (default): hand flipped so the palm faces up
+    "leap_cube": {},
+    # palm-down: hand in its natural orientation, cube held underneath
+    "leap_cube_down": {
+        "hand_quat": "1 0 0 0",
+        "cube_pos": "-0.04 -0.035 -0.065",
+        "goal_pos": "0.0 -0.2 -0.05",
+    },
+    # caltech mount: palm-up variant with a laterally offset cube rest pose
+    "caltech_leap_cube": {
+        "hand_quat": "0 0.9961947 0 -0.0871557",
+        "cube_pos": "0.11 0.005 0.04",
+        "goal_pos": "-0.1 -0.1 0.3",
+    },
+}
+
+
+def leap_cube_xml_path(variant: str = "leap_cube") -> str:
+    """Write (once) and return the generated scene path for a variant."""
+    path = Path(__file__).parent / "xml" / f"{variant}.xml"
+    xml = build_leap_cube_xml(**_VARIANTS[variant])
     if not path.exists() or path.read_text() != xml:
         path.write_text(xml)
     return str(path)

@@ -177,8 +177,15 @@ def _contacts_xml() -> str:
     return "<contact>\n" + "\n".join(rows) + "\n</contact>"
 
 
-def build_spot_xml(extra_worldbody: str = "", extra_assets: str = "") -> str:
-    """Full Spot scene; ``extra_worldbody`` injects task objects (box, tire)."""
+def build_spot_xml(
+    extra_worldbody: str = "", extra_assets: str = "", world_object_site: bool = True
+) -> str:
+    """Full Spot scene; ``extra_worldbody`` injects task objects (box, tire).
+
+    ``world_object_site=False`` drops the world-frame site_object so a task
+    object can own it instead (the reference's spot_box/spot_tire scenes put
+    site_object on the object, making the relative sensors object-centric).
+    """
     legs = "\n".join(_leg_xml(p, jp, sx, sy) for p, jp, sx, sy in LEGS)
     return f"""
 <mujoco model="spot_tpu">
@@ -197,7 +204,7 @@ def build_spot_xml(extra_worldbody: str = "", extra_assets: str = "") -> str:
       {legs}
       {_arm_xml()}
     </body>
-    <site name="site_object" pos="0 0 0" size="0.01"/>
+    {('<site name="site_object" pos="0 0 0" size="0.01"/>' if world_object_site else "")}
     {extra_worldbody}
   </worldbody>
   {_actuators_xml()}
@@ -207,9 +214,41 @@ def build_spot_xml(extra_worldbody: str = "", extra_assets: str = "") -> str:
 """
 
 
-def spot_xml_path(variant: str = "base", extra_worldbody: str = "") -> str:
-    path = Path(__file__).parent / "xml" / f"spot_{variant}.xml"
-    xml = build_spot_xml(extra_worldbody=extra_worldbody)
+BOX_WORLDBODY = """
+    <body name="box_body" pos="2 0 0.254">
+      <joint name="box_joint" type="free"/>
+      <inertial pos="0 0 0" mass="1.5" diaginertia="0.1445 0.1445 0.1445"/>
+      <geom name="box_collision" type="box" size="0.254 0.254 0.254" class="collision" priority="4"/>
+      <site name="site_object" pos="0 0 0" size="0.01"/>
+    </body>
+"""
+
+# the reference's own primitive proxy for the tire mesh stack
+# (objects/tire/tire.xml: object_primitive_approx cylinder 0.33 x 0.17)
+TIRE_WORLDBODY = """
+    <body name="tire" pos="2 0 0.35">
+      <joint name="tire_joint" type="free"/>
+      <inertial pos="0 0 0" mass="15.3" diaginertia="0.57 0.96 0.57"/>
+      <geom name="tire_collision" type="cylinder" size="0.33 0.17" quat="1 1 0 0" class="collision" priority="4" friction="0.9"/>
+      <site name="site_object" pos="0 0 0" size="0.01"/>
+    </body>
+"""
+
+_SPOT_VARIANTS = {
+    "spot_base": dict(extra_worldbody="", world_object_site=True),
+    "spot_navigate": dict(extra_worldbody="", world_object_site=True),
+    "spot_box_push": dict(extra_worldbody=BOX_WORLDBODY, world_object_site=False),
+    "spot_tire_roll": dict(extra_worldbody=TIRE_WORLDBODY, world_object_site=False),
+    "spot_tire_upright": dict(extra_worldbody=TIRE_WORLDBODY, world_object_site=False),
+}
+
+
+def spot_xml_path(variant: str = "spot_base", extra_worldbody: str = "") -> str:
+    if not variant.startswith("spot"):
+        variant = f"spot_{variant}"
+    kwargs = _SPOT_VARIANTS.get(variant, dict(extra_worldbody=extra_worldbody, world_object_site=True))
+    path = Path(__file__).parent / "xml" / f"{variant}.xml"
+    xml = build_spot_xml(**kwargs)
     if not path.exists() or path.read_text() != xml:
         path.write_text(xml)
     return str(path)

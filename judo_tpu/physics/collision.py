@@ -56,11 +56,17 @@ def _num_slots(t1: int, t2: int) -> int:
     if t1 == GEOM_PLANE:
         return {GEOM_SPHERE: 1, GEOM_CAPSULE: 2, GEOM_CYLINDER: 2, GEOM_BOX: 4}.get(t2, 0)
     if t1 == GEOM_SPHERE:
-        return 1 if t2 in (GEOM_SPHERE, GEOM_CAPSULE, GEOM_BOX) else 0
+        return 1 if t2 in (GEOM_SPHERE, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_BOX) else 0
     if t1 == GEOM_CAPSULE:
-        return 1 if t2 == GEOM_CAPSULE else (2 if t2 == GEOM_BOX else 0)
+        if t2 == GEOM_CAPSULE:
+            return 1
+        if t2 in (GEOM_CYLINDER,):
+            return 1
+        if t2 == GEOM_BOX:
+            return 2
+        return 0
     if t1 == GEOM_CYLINDER:
-        return 2 if t2 == GEOM_CYLINDER else 0
+        return 2 if t2 in (GEOM_CYLINDER, GEOM_BOX) else 0
     if t1 == GEOM_BOX:
         return 4 if t2 == GEOM_BOX else 0
     return 0
@@ -260,6 +266,37 @@ def _k_cylinder_cylinder(x1, m1, s1, x2, m2, s2):
     return jnp.stack([d, d]), pos, jnp.stack([n, n])
 
 
+# Cylinder-vs-round/box pairs use a capsule proxy for the cylinder with a
+# support-function correction: a capsule's support exceeds the cylinder's by
+# r*(1 - sqrt(1-(n.a)^2)) along contact normal n (axis a) — adding that back
+# makes separation distances exact for pure axial and pure radial contact and
+# first-order correct in between (flat faces stop ghost-contacting, tread
+# contact is untouched).
+
+
+def _cyl_support_correction(dist, n, axis, r):
+    na = jnp.clip(jnp.abs(jnp.sum(n * axis, axis=-1)), 0.0, 1.0)
+    return dist + r * (1.0 - jnp.sqrt(jnp.maximum(1.0 - na * na, 0.0)))
+
+
+def _k_sphere_cylinder(x1, m1, s1, x2, m2, s2):
+    d, p, n = _k_sphere_capsule(x1, m1, s1, x2, m2, s2)
+    return _cyl_support_correction(d, n, m2[:, 2][None], s2[0]), p, n
+
+
+def _k_capsule_cylinder(x1, m1, s1, x2, m2, s2):
+    d, p, n = _k_capsule_capsule(x1, m1, s1, x2, m2, s2)
+    return _cyl_support_correction(d, n, m2[:, 2][None], s2[0]), p, n
+
+
+def _k_cylinder_box(x1, m1, s1, x2, m2, s2):
+    from judo_tpu.physics.box_collision import capsule_box
+
+    pc = capsule_box(x1, m1, s1, x2, m2, s2)
+    d = _cyl_support_correction(pc.dist, pc.normal, m1[:, 2][None], s1[0])
+    return d, pc.pos, pc.normal
+
+
 _KERNELS = {
     (GEOM_PLANE, GEOM_SPHERE): _k_plane_sphere,
     (GEOM_PLANE, GEOM_CAPSULE): _k_plane_capsule,
@@ -267,10 +304,13 @@ _KERNELS = {
     (GEOM_PLANE, GEOM_BOX): _k_plane_box,
     (GEOM_SPHERE, GEOM_SPHERE): _k_sphere_sphere,
     (GEOM_SPHERE, GEOM_CAPSULE): _k_sphere_capsule,
+    (GEOM_SPHERE, GEOM_CYLINDER): _k_sphere_cylinder,
     (GEOM_SPHERE, GEOM_BOX): _k_sphere_box,
     (GEOM_CAPSULE, GEOM_CAPSULE): _k_capsule_capsule,
+    (GEOM_CAPSULE, GEOM_CYLINDER): _k_capsule_cylinder,
     (GEOM_CAPSULE, GEOM_BOX): _k_capsule_box,
     (GEOM_CYLINDER, GEOM_CYLINDER): _k_cylinder_cylinder,
+    (GEOM_CYLINDER, GEOM_BOX): _k_cylinder_box,
     (GEOM_BOX, GEOM_BOX): _k_box_box,
 }
 

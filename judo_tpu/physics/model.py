@@ -36,6 +36,10 @@ SENSOR_JOINTVEL = int(mujoco.mjtSensor.mjSENS_JOINTVEL)
 SENSOR_FRAMEXAXIS = int(mujoco.mjtSensor.mjSENS_FRAMEXAXIS)
 SENSOR_FRAMEYAXIS = int(mujoco.mjtSensor.mjSENS_FRAMEYAXIS)
 SENSOR_FRAMEZAXIS = int(mujoco.mjtSensor.mjSENS_FRAMEZAXIS)
+SENSOR_DISTANCE = int(mujoco.mjtSensor.mjSENS_GEOMDIST)
+
+# Equality constraint types (match mujoco.mjtEq).
+EQ_CONNECT, EQ_WELD, EQ_JOINT, EQ_TENDON = 0, 1, 2, 3
 
 _OBJ_BODY = int(mujoco.mjtObj.mjOBJ_BODY)
 _OBJ_XBODY = int(mujoco.mjtObj.mjOBJ_XBODY)
@@ -97,6 +101,11 @@ class PhysicsModel:
     sensor_dim: Tuple[int, ...] = struct.field(pytree_node=False)
     sensor_reftype: Tuple[int, ...] = struct.field(pytree_node=False)
     sensor_refid: Tuple[int, ...] = struct.field(pytree_node=False)
+    sensor_objname: Tuple[str, ...] = struct.field(pytree_node=False)
+    neq: int = struct.field(pytree_node=False)
+    eq_type: Tuple[int, ...] = struct.field(pytree_node=False)
+    eq_obj1id: Tuple[int, ...] = struct.field(pytree_node=False)
+    eq_obj2id: Tuple[int, ...] = struct.field(pytree_node=False)
     # Candidate collision pairs, precomputed at lowering: tuple of (g1, g2).
     collision_pairs: Tuple[Tuple[int, int], ...] = struct.field(pytree_node=False)
 
@@ -133,6 +142,10 @@ class PhysicsModel:
     geom_gap: jnp.ndarray  # (ngeom,)
     site_pos: jnp.ndarray  # (nsite, 3)
     site_quat: jnp.ndarray  # (nsite, 4)
+    sensor_cutoff: jnp.ndarray  # (nsensor,)
+    eq_data: jnp.ndarray  # (neq, 11)
+    eq_solref: jnp.ndarray  # (neq, 2)
+    eq_solimp: jnp.ndarray  # (neq, 5)
     actuator_gear: jnp.ndarray  # (nu, 6)
     actuator_gainprm: jnp.ndarray  # (nu, 10)
     actuator_biasprm: jnp.ndarray  # (nu, 10)
@@ -147,6 +160,13 @@ class PhysicsModel:
     # body_dof_mask[b, i] = 1 iff dof i is in body b's ancestor chain (for
     # dense point Jacobians).
     body_dof_mask: jnp.ndarray  # (nbody, nv)
+    # subtree_mask[b, c] = 1 iff body c is in body b's subtree (incl. itself):
+    # turns every backward tree accumulation into one matmul.
+    subtree_mask: jnp.ndarray  # (nbody, nbody)
+    # dofdot_mask[i, j] = 1 iff dof j's velocity contributes to cdof_dot[i]
+    # (strict dof ancestors, same-joint rotational siblings excluded, free-
+    # joint translations included for its rotations; trans rows all-zero).
+    dofdot_mask: jnp.ndarray  # (nv, nv)
     body_invweight0: jnp.ndarray  # (nbody, 2) [trans, rot] from MjModel
     impratio: jnp.ndarray  # ()
 
@@ -170,7 +190,7 @@ def make_state(model: PhysicsModel, qpos=None, qvel=None, time=0.0) -> PhysicsSt
     )
 
 
-def _collision_pairs(m: mujoco.MjModel) -> Tuple[Tuple[int, int], ...]:
+def _collision_pairs(m: mujoco.MjModel, pair_filter=None) -> Tuple[Tuple[int, int], ...]:
     """Enumerate candidate geom pairs using MuJoCo's filtering rules.
 
     Mirrors the contype/conaffinity + same-body/parent-child exclusion logic
@@ -196,6 +216,8 @@ def _collision_pairs(m: mujoco.MjModel) -> Tuple[Tuple[int, int], ...]:
                 or (m.geom_contype[g2] & m.geom_conaffinity[g1])
             ):
                 continue
+            if pair_filter is not None and not pair_filter(m, g1, g2):
+                continue
             t1, t2 = int(m.geom_type[g1]), int(m.geom_type[g2])
             # order pairs canonically: smaller type code first (plane first etc.)
             if t1 <= t2:
@@ -206,7 +228,10 @@ def _collision_pairs(m: mujoco.MjModel) -> Tuple[Tuple[int, int], ...]:
 
 
 def put_model(
-    m: mujoco.MjModel, dtype: Any = jnp.float32, solver_iterations: int | None = None
+    m: mujoco.MjModel,
+    dtype: Any = jnp.float32,
+    solver_iterations: int | None = None,
+    collision_pair_filter=None,
 ) -> PhysicsModel:
     """Lower a compiled ``mujoco.MjModel`` into a device ``PhysicsModel``.
 
@@ -216,6 +241,10 @@ def put_model(
 
     solver_iterations overrides opt.iterations for the contact solver (planner
     models trade solver tightness for sequential depth on TPU).
+    collision_pair_filter(m, g1, g2) -> bool optionally prunes candidate pairs
+    beyond MuJoCo's rules — planner models drop contact sets that cannot
+    influence the plan (e.g. robot self-collision) to cut the static contact
+    budget.
     """
     a = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)  # noqa: E731
 
@@ -236,6 +265,33 @@ def put_model(
             d0 = m.body_dofadr[bb]
             body_dof[b, d0 : d0 + m.body_dofnum[bb]] = 1.0
             bb = m.body_parentid[bb]
+
+    # subtree mask from the parent chain
+    subtree = np.eye(m.nbody, dtype=np.float64)
+    for b in range(m.nbody - 1, 0, -1):
+        p_ = m.body_parentid[b]
+        subtree[p_] += subtree[b]
+    subtree = np.minimum(subtree, 1.0)
+
+    # cdof_dot contribution mask (see field docstring)
+    dofdot = np.zeros((nv, nv), dtype=np.float64)
+    jnt_of_dof = np.asarray(m.dof_jntid)
+    for i in range(nv):
+        jt = int(m.jnt_type[jnt_of_dof[i]])
+        dadr = int(m.jnt_dofadr[jnt_of_dof[i]])
+        if jt == FREE and i - dadr < 3:
+            continue  # translational free dofs: cdof_dot = 0
+        j = int(m.dof_parentid[i])
+        while j >= 0:
+            dofdot[i, j] = 1.0
+            j = int(m.dof_parentid[j])
+        if jt == BALL:
+            # exclude same-joint siblings (all three rotate simultaneously)
+            dofdot[i, dadr : dadr + 3] = 0.0
+        elif jt == FREE:
+            # rotations: include own translations, exclude rotation siblings
+            dofdot[i, dadr + 3 : dadr + 6] = 0.0
+            dofdot[i, dadr : dadr + 3] = 1.0
 
     disable = m.opt.disableflags
     contact_enabled = not (disable & mujoco.mjtDisableBit.mjDSBL_CONTACT)
@@ -285,7 +341,15 @@ def put_model(
         sensor_dim=_t(m.sensor_dim),
         sensor_reftype=_t(m.sensor_reftype),
         sensor_refid=_t(m.sensor_refid),
-        collision_pairs=_collision_pairs(m),
+        sensor_objname=tuple(
+            mujoco.mj_id2name(m, int(m.sensor_objtype[i]), int(m.sensor_objid[i])) or ""
+            for i in range(m.nsensor)
+        ),
+        neq=m.neq,
+        eq_type=_t(m.eq_type),
+        eq_obj1id=_t(m.eq_obj1id),
+        eq_obj2id=_t(m.eq_obj2id),
+        collision_pairs=_collision_pairs(m, collision_pair_filter),
         timestep=a(m.opt.timestep),
         gravity=a(m.opt.gravity),
         qpos0=a(m.qpos0),
@@ -318,6 +382,10 @@ def put_model(
         geom_gap=a(m.geom_gap),
         site_pos=a(m.site_pos),
         site_quat=a(m.site_quat),
+        sensor_cutoff=a(m.sensor_cutoff),
+        eq_data=a(m.eq_data),
+        eq_solref=a(m.eq_solref),
+        eq_solimp=a(m.eq_solimp),
         actuator_gear=a(m.actuator_gear),
         actuator_gainprm=a(m.actuator_gainprm),
         actuator_biasprm=a(m.actuator_biasprm),
@@ -327,6 +395,8 @@ def put_model(
         actuator_forcelimited=jnp.asarray(np.asarray(m.actuator_forcelimited, dtype=bool)),
         dof_ancestor_mask=a(mask),
         body_dof_mask=a(body_dof),
+        subtree_mask=a(subtree),
+        dofdot_mask=a(dofdot),
         body_invweight0=a(m.body_invweight0),
         impratio=a(m.opt.impratio),
     )

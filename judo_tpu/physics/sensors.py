@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from judo_tpu.ops.math import quat_mul
 from judo_tpu.physics.model import (
+    SENSOR_DISTANCE,
     SENSOR_FRAMEPOS,
     SENSOR_FRAMEQUAT,
     SENSOR_FRAMEXAXIS,
@@ -25,6 +26,37 @@ from judo_tpu.physics.model import (
     PhysicsModel,
 )
 from judo_tpu.physics.smooth import Kinematics
+
+
+def _distance_sensor(m: PhysicsModel, kin: Kinematics, body1: int, body2: int, cutoff) -> jnp.ndarray:
+    """Min distance between two bodies' geoms via the narrowphase kernels
+    (mjSENS_GEOMDIST semantics: clamped to cutoff from above)."""
+    from judo_tpu.physics.collision import _KERNELS
+
+    dists = [cutoff]
+    for g1 in range(m.ngeom):
+        if m.geom_bodyid[g1] != body1 and m.geom_bodyid[g1] != body2:
+            continue
+        for g2 in range(m.ngeom):
+            if m.geom_bodyid[g1] == body1 and m.geom_bodyid[g2] != body2:
+                continue
+            if m.geom_bodyid[g1] == body2 and m.geom_bodyid[g2] != body1:
+                continue
+            if m.geom_bodyid[g1] == m.geom_bodyid[g2]:
+                continue
+            a, b = (g1, g2) if m.geom_type[g1] <= m.geom_type[g2] else (g2, g1)
+            if a != g1:
+                continue  # handled once in canonical order
+            sig = (m.geom_type[a], m.geom_type[b])
+            kernel = _KERNELS.get(sig)
+            if kernel is None:
+                continue
+            d, _, _ = kernel(
+                kin.geom_xpos[a], kin.geom_xmat[a], m.geom_size[a],
+                kin.geom_xpos[b], kin.geom_xmat[b], m.geom_size[b],
+            )
+            dists.append(jnp.min(d))
+    return jnp.minimum(jnp.stack([jnp.asarray(v) for v in dists]).min(), cutoff)
 
 
 def evaluate_sensors(
@@ -54,6 +86,9 @@ def evaluate_sensors(
             if refid >= 0 and m.sensor_reftype[i] == _OBJ_SITE:
                 val = kin.site_xmat[refid].T @ (val - kin.site_xpos[refid])
             out = out.at[adr : adr + 3].set(val)
+        elif stype == SENSOR_DISTANCE and objtype == _OBJ_BODY:
+            val = _distance_sensor(m, kin, objid, m.sensor_refid[i], m.sensor_cutoff[i])
+            out = out.at[adr].set(val)
         elif stype in (SENSOR_FRAMEXAXIS, SENSOR_FRAMEYAXIS, SENSOR_FRAMEZAXIS):
             col = {SENSOR_FRAMEXAXIS: 0, SENSOR_FRAMEYAXIS: 1, SENSOR_FRAMEZAXIS: 2}[stype]
             if objtype == _OBJ_SITE:

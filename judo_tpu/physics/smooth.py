@@ -121,90 +121,77 @@ def kinematics(m: PhysicsModel, s: PhysicsState) -> Kinematics:
     return Kinematics(xpos, xquat, xmat, xipos, ximat, xanchor, xaxis, geom_xpos, geom_xmat, site_xpos, site_xmat)
 
 
+def _static_joint_groups(m: PhysicsModel):
+    """Static per-type joint index groups (hashable inputs only)."""
+    hinge, slide, ball, free = [], [], [], []
+    for j in range(m.njnt):
+        {HINGE: hinge, SLIDE: slide, BALL: ball, FREE: free}[m.jnt_type[j]].append(j)
+    return hinge, slide, ball, free
+
+
 def com_quantities(m: PhysicsModel, kin: Kinematics) -> ComQuants:
     """CoM-centered inertias and dof axes (the semantics of mj_comPos).
 
     All spatial quantities are expressed with world orientation about the
-    subtree CoM of each kinematic tree's root body, matching MuJoCo's
-    conditioning trick.
+    subtree CoM of each kinematic tree's root body. Tree accumulations are
+    mask matmuls and dof axes are built per joint-type group — the graph has
+    O(joint types) ops, not O(nbody), which is what keeps contact-rich models
+    fast on TPU (SURVEY §7 performance stance).
     """
     dtype = kin.xpos.dtype
-    # subtree com: backward accumulation of mass-weighted body CoM positions.
     mass = m.body_mass
     mpos = mass[:, None] * kin.xipos
-    sub_mass = [mass[b] for b in range(m.nbody)]
-    sub_mpos = [mpos[b] for b in range(m.nbody)]
-    for b in range(m.nbody - 1, 0, -1):
-        p = m.body_parentid[b]
-        sub_mass[p] = sub_mass[p] + sub_mass[b]
-        sub_mpos[p] = sub_mpos[p] + sub_mpos[b]
-    sub_mass_arr = jnp.stack(sub_mass)
-    subtree_com = jnp.stack(sub_mpos) / jnp.maximum(sub_mass_arr, 1e-12)[:, None]
-
-    # center of each body's tree root
+    sub_mass = m.subtree_mask @ mass
+    subtree_com = (m.subtree_mask @ mpos) / jnp.maximum(sub_mass, 1e-12)[:, None]
     root_com = subtree_com[jnp.asarray(m.body_rootid)]  # (nbody, 3)
 
-    # spatial inertia of each body about its tree-root CoM, world orientation
     inertia_world = kin.ximat @ (m.body_inertia[:, :, None] * kin.ximat.swapaxes(-1, -2))
     cinert = spatial_inertia(mass, inertia_world, kin.xipos - root_com)  # (nbody, 6, 6)
 
-    # cdof: motion axes per dof about tree-root CoM
-    cdofs = []
-    for j in range(m.njnt):
-        jt = m.jnt_type[j]
+    cdof = jnp.zeros((m.nv, 6), dtype)
+    hinge, slide, ball, free = _static_joint_groups(m)
+    if hinge:
+        jids = jnp.asarray(hinge)
+        dadr = jnp.asarray([m.jnt_dofadr[j] for j in hinge])
+        bods = jnp.asarray([m.jnt_bodyid[j] for j in hinge])
+        ax = kin.xaxis[jids]
+        off = kin.xanchor[jids] - root_com[bods]
+        cdof = cdof.at[dadr].set(jnp.concatenate([ax, jnp.cross(ax, -off)], axis=-1))
+    if slide:
+        jids = jnp.asarray(slide)
+        dadr = jnp.asarray([m.jnt_dofadr[j] for j in slide])
+        ax = kin.xaxis[jids]
+        cdof = cdof.at[dadr].set(jnp.concatenate([jnp.zeros_like(ax), ax], axis=-1))
+    for j in ball:
         b = m.jnt_bodyid[j]
+        d = m.jnt_dofadr[j]
         offset = kin.xanchor[j] - root_com[b]
-        if jt == FREE:
-            # 3 translations along world axes, then 3 rotations about body axes
-            eye = jnp.eye(3, dtype=dtype)
-            for i in range(3):
-                cdofs.append(jnp.concatenate([jnp.zeros(3, dtype), eye[i]]))
-            rot = quat_to_mat(kin.xquat[b])
-            for i in range(3):
-                ax = rot[:, i]
-                cdofs.append(jnp.concatenate([ax, jnp.cross(ax, -offset)]))
-        elif jt == BALL:
-            rot = quat_to_mat(kin.xquat[b])
-            for i in range(3):
-                ax = rot[:, i]
-                cdofs.append(jnp.concatenate([ax, jnp.cross(ax, -offset)]))
-        elif jt == SLIDE:
-            cdofs.append(jnp.concatenate([jnp.zeros(3, dtype), kin.xaxis[j]]))
-        elif jt == HINGE:
-            ax = kin.xaxis[j]
-            cdofs.append(jnp.concatenate([ax, jnp.cross(ax, -offset)]))
-    cdof = jnp.stack(cdofs) if cdofs else jnp.zeros((0, 6), dtype)
+        rot = quat_to_mat(kin.xquat[b])
+        for i in range(3):
+            axv = rot[:, i]
+            cdof = cdof.at[d + i].set(jnp.concatenate([axv, jnp.cross(axv, -offset)]))
+    for j in free:
+        b = m.jnt_bodyid[j]
+        d = m.jnt_dofadr[j]
+        offset = kin.xanchor[j] - root_com[b]
+        eye = jnp.eye(3, dtype=dtype)
+        cdof = cdof.at[d : d + 3, 3:].set(eye)
+        rot = quat_to_mat(kin.xquat[b])
+        for i in range(3):
+            axv = rot[:, i]
+            cdof = cdof.at[d + 3 + i].set(jnp.concatenate([axv, jnp.cross(axv, -offset)]))
     return ComQuants(subtree_com, cinert, cdof)
 
 
 def velocity(m: PhysicsModel, com: ComQuants, qvel: jnp.ndarray) -> Velocity:
-    """Body spatial velocities and cdof time-derivatives (mj_comVel semantics)."""
-    dtype = qvel.dtype
-    cvel = [jnp.zeros(6, dtype)]
-    cdof_dot = [None] * m.nv
-    for b in range(1, m.nbody):
-        v = cvel[m.body_parentid[b]]
-        for k in range(m.body_jntnum[b]):
-            j = m.body_jntadr[b] + k
-            jt = m.jnt_type[j]
-            d = m.jnt_dofadr[j]
-            if jt == FREE:
-                for i in range(3):
-                    cdof_dot[d + i] = jnp.zeros(6, dtype)
-                v = v + com.cdof[d] * qvel[d] + com.cdof[d + 1] * qvel[d + 1] + com.cdof[d + 2] * qvel[d + 2]
-                for i in range(3, 6):
-                    cdof_dot[d + i] = motion_cross(v, com.cdof[d + i])
-                v = v + com.cdof[d + 3] * qvel[d + 3] + com.cdof[d + 4] * qvel[d + 4] + com.cdof[d + 5] * qvel[d + 5]
-            elif jt == BALL:
-                for i in range(3):
-                    cdof_dot[d + i] = motion_cross(v, com.cdof[d + i])
-                v = v + com.cdof[d] * qvel[d] + com.cdof[d + 1] * qvel[d + 1] + com.cdof[d + 2] * qvel[d + 2]
-            else:  # SLIDE / HINGE
-                cdof_dot[d] = motion_cross(v, com.cdof[d])
-                v = v + com.cdof[d] * qvel[d]
-        cvel.append(v)
-    cdof_dot = jnp.stack(cdof_dot) if m.nv else jnp.zeros((0, 6), dtype)
-    return Velocity(jnp.stack(cvel), cdof_dot)
+    """Body spatial velocities and cdof time-derivatives (mj_comVel semantics),
+    as two mask matmuls: cvel = ancestor-dof sums, cdof_dot[i] = cross of the
+    velocity accumulated before dof i (static dofdot mask) with cdof[i]."""
+    dof_vel = com.cdof * qvel[:, None]  # (nv, 6)
+    cvel = m.body_dof_mask @ dof_vel  # (nbody, 6)
+    vel_before = m.dofdot_mask @ dof_vel  # (nv, 6)
+    cdof_dot = motion_cross(vel_before, com.cdof)
+    return Velocity(cvel, cdof_dot)
 
 
 def crb_mass_matrix(m: PhysicsModel, com: ComQuants) -> jnp.ndarray:
@@ -213,12 +200,7 @@ def crb_mass_matrix(m: PhysicsModel, com: ComQuants) -> jnp.ndarray:
     M[i, j] = cdof_i . (CRB[body(i)] cdof_j) on the dof-ancestor sparsity
     pattern, assembled as one masked dense matmul (MXU-friendly when batched).
     """
-    crb = [com.cinert[b] for b in range(m.nbody)]
-    for b in range(m.nbody - 1, 0, -1):
-        p = m.body_parentid[b]
-        if p > 0:
-            crb[p] = crb[p] + crb[b]
-    crb = jnp.stack(crb)  # (nbody, 6, 6)
+    crb = (m.subtree_mask @ com.cinert.reshape(m.nbody, 36)).reshape(m.nbody, 6, 6)
 
     dof_body = jnp.asarray(m.dof_bodyid)
     f = jnp.einsum("vab,vb->va", crb[dof_body], com.cdof)  # (nv, 6)
@@ -230,55 +212,46 @@ def crb_mass_matrix(m: PhysicsModel, com: ComQuants) -> jnp.ndarray:
 
 
 def rne_bias(m: PhysicsModel, com: ComQuants, vel: Velocity, qvel: jnp.ndarray) -> jnp.ndarray:
-    """Bias force C(q, qvel) via recursive Newton-Euler (mj_rne, flg_acc=0)."""
+    """Bias force C(q, qvel) via recursive Newton-Euler (mj_rne, flg_acc=0),
+    with the forward/backward recursions as ancestor/subtree mask matmuls."""
     dtype = qvel.dtype
     grav = jnp.where(m.gravity_enabled, 1.0, 0.0).astype(dtype) * m.gravity
-    # world "acceleration" = -gravity trick
-    cacc = [jnp.concatenate([jnp.zeros(3, dtype), -grav])]
-    for b in range(1, m.nbody):
-        p = m.body_parentid[b]
-        a = cacc[p]
-        d0, dn = m.body_dofadr[b], m.body_dofadr[b] + m.body_dofnum[b]
-        if dn > d0:
-            a = a + vel.cdof_dot[d0:dn].T @ qvel[d0:dn]
-        cacc.append(a)
-    # body forces
-    cfrc = []
-    for b in range(m.nbody):
-        fv = com.cinert[b] @ cacc[b] + motion_cross_force(vel.cvel[b], com.cinert[b] @ vel.cvel[b])
-        cfrc.append(fv)
-    # backward accumulation
-    for b in range(m.nbody - 1, 0, -1):
-        p = m.body_parentid[b]
-        if p > 0:
-            cfrc[p] = cfrc[p] + cfrc[b]
-        # note: subtree force for body b is cfrc[b] after children folded in
-    # projection onto dofs
-    qfrc_bias = jnp.zeros(m.nv, dtype)
-    for b in range(1, m.nbody):
-        d0, dn = m.body_dofadr[b], m.body_dofadr[b] + m.body_dofnum[b]
-        if dn > d0:
-            qfrc_bias = qfrc_bias.at[d0:dn].set(com.cdof[d0:dn] @ cfrc[b])
-    return qfrc_bias
+    base_acc = jnp.concatenate([jnp.zeros(3, dtype), -grav])
+    # forward: cacc[b] = base + sum over ancestor dofs of cdof_dot * qvel
+    cacc = base_acc[None] + m.body_dof_mask @ (vel.cdof_dot * qvel[:, None])  # (nbody, 6)
+    # body-local forces, batched
+    iv = jnp.einsum("bij,bj->bi", com.cinert, vel.cvel)
+    cfrc = jnp.einsum("bij,bj->bi", com.cinert, cacc) + motion_cross_force(vel.cvel, iv)
+    # backward: subtree sums, then project per dof
+    cfrc_sub = m.subtree_mask @ cfrc  # (nbody, 6)
+    dof_body = jnp.asarray(m.dof_bodyid)
+    return jnp.einsum("vk,vk->v", com.cdof, cfrc_sub[dof_body])
 
 
 def passive_force(m: PhysicsModel, s: PhysicsState) -> jnp.ndarray:
     """Joint springs and dof dampers (mj_passive semantics, no tendons/fluids)."""
     dtype = s.qvel.dtype
     qfrc = -m.dof_damping * s.qvel
-    for j in range(m.njnt):
+    hinge, slide, ball, free = _static_joint_groups(m)
+    scalar = sorted(hinge + slide)
+    if scalar:
+        jids = jnp.asarray(scalar)
+        qadrs = jnp.asarray([m.jnt_qposadr[j] for j in scalar])
+        dadrs = jnp.asarray([m.jnt_dofadr[j] for j in scalar])
+        qfrc = qfrc.at[dadrs].add(
+            -m.jnt_stiffness[jids] * (s.qpos[qadrs] - m.qpos_spring[qadrs])
+        )
+    for j in ball + free:
         jt = m.jnt_type[j]
         qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
         stiff = m.jnt_stiffness[j]
-        if jt in (SLIDE, HINGE):
-            qfrc = qfrc.at[dadr].add(-stiff * (s.qpos[qadr] - m.qpos_spring[qadr]))
-        elif jt == BALL:
+        if jt == BALL:
             # torque = -k * log(q_spring^-1 q), small-angle form via vector part
             q = s.qpos[qadr : qadr + 4]
             qs = m.qpos_spring[qadr : qadr + 4]
             dq = quat_mul(qs * jnp.array([1, -1, -1, -1], dtype), q)
             qfrc = qfrc.at[dadr : dadr + 3].add(-stiff * 2.0 * dq[1:])
-        elif jt == FREE:
+        else:  # FREE
             qfrc = qfrc.at[dadr : dadr + 3].add(
                 -stiff * (s.qpos[qadr : qadr + 3] - m.qpos_spring[qadr : qadr + 3])
             )
@@ -302,20 +275,22 @@ def actuation(m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray) -> jnp.ndarra
         jnp.clip(ctrl, m.actuator_ctrlrange[:, 0], m.actuator_ctrlrange[:, 1]),
         ctrl,
     )
-    qfrc = jnp.zeros(m.nv, dtype)
-    for u in range(m.nu):
-        j = m.actuator_trnid[u]
-        qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-        gear = m.actuator_gear[u, 0]
-        length = s.qpos[qadr] * gear
-        vel = s.qvel[dadr] * gear
-        gain = m.actuator_gainprm[u, 0]
-        b0, b1, b2 = m.actuator_biasprm[u, 0], m.actuator_biasprm[u, 1], m.actuator_biasprm[u, 2]
-        force = gain * ctrl[u] + b0 + b1 * length + b2 * vel
-        force = jnp.where(
-            m.actuator_forcelimited[u],
-            jnp.clip(force, m.actuator_forcerange[u, 0], m.actuator_forcerange[u, 1]),
-            force,
-        )
-        qfrc = qfrc.at[dadr].add(gear * force)
-    return qfrc
+    if m.nu == 0:
+        return jnp.zeros(m.nv, dtype)
+    qadrs = jnp.asarray([m.jnt_qposadr[j] for j in m.actuator_trnid])
+    dadrs = jnp.asarray([m.jnt_dofadr[j] for j in m.actuator_trnid])
+    gear = m.actuator_gear[:, 0]
+    length = s.qpos[qadrs] * gear
+    vel = s.qvel[dadrs] * gear
+    force = (
+        m.actuator_gainprm[:, 0] * ctrl
+        + m.actuator_biasprm[:, 0]
+        + m.actuator_biasprm[:, 1] * length
+        + m.actuator_biasprm[:, 2] * vel
+    )
+    force = jnp.where(
+        m.actuator_forcelimited,
+        jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1]),
+        force,
+    )
+    return jnp.zeros(m.nv, dtype).at[dadrs].add(gear * force)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from judo_tpu.physics.collision import Contacts
-from judo_tpu.physics.model import HINGE, SLIDE, PhysicsModel
+from judo_tpu.physics.model import EQ_JOINT, HINGE, SLIDE, PhysicsModel
 from judo_tpu.physics.smooth import ComQuants, Kinematics
 
 _MINIMP, _MAXIMP = 1e-4, 0.9999
@@ -94,9 +94,38 @@ def assemble_constraints(
     qpos: jnp.ndarray,
     qvel: jnp.ndarray,
 ) -> ConstraintRows:
-    """Build efc rows (joint limits, then pyramidal contact facets), batched."""
+    """Build efc rows (equalities, joint limits, pyramidal contact facets)."""
     dtype = qvel.dtype
     blocks_J, blocks_aref, blocks_reg, blocks_active = [], [], [], []
+
+    # --- joint equality couplings (mjEQ_JOINT), as +/- one-sided row pairs ---
+    for e in range(m.neq):
+        if m.eq_type[e] != EQ_JOINT:
+            continue  # connect/weld equalities: not yet supported
+        j1, j2 = m.eq_obj1id[e], m.eq_obj2id[e]
+        q1adr, d1 = m.jnt_qposadr[j1], m.jnt_dofadr[j1]
+        coef = m.eq_data[e]
+        if j2 >= 0:
+            q2adr, d2 = m.jnt_qposadr[j2], m.jnt_dofadr[j2]
+            dq2 = qpos[q2adr] - m.qpos0[q2adr]
+            poly = coef[0] + dq2 * (coef[1] + dq2 * (coef[2] + dq2 * (coef[3] + dq2 * coef[4])))
+            dpoly = coef[1] + dq2 * (2 * coef[2] + dq2 * (3 * coef[3] + dq2 * 4 * coef[4]))
+            pos = (qpos[q1adr] - m.qpos0[q1adr]) - poly
+            row = jnp.zeros(m.nv, dtype).at[d1].set(1.0).at[d2].add(-dpoly)
+            inv_w = m.dof_invweight0[d1] + m.dof_invweight0[d2]
+        else:
+            pos = (qpos[q1adr] - m.qpos0[q1adr]) - coef[0]
+            row = jnp.zeros(m.nv, dtype).at[d1].set(1.0)
+            inv_w = m.dof_invweight0[d1]
+        imp = impedance(m.eq_solimp[e], pos)
+        k, b = kb_from_solref(m.eq_solref[e], m.eq_solimp[e], m.timestep)
+        vel = row @ qvel
+        reg_val = (1.0 - imp) / jnp.maximum(imp, _MINIMP) * inv_w
+        for sgn in (1.0, -1.0):
+            blocks_J.append((sgn * row)[None])
+            blocks_aref.append(jnp.asarray(sgn * (-b * vel - k * imp * pos), dtype)[None])
+            blocks_reg.append(jnp.asarray(reg_val, dtype)[None])
+            blocks_active.append(jnp.ones(1, dtype))
 
     # --- joint limits (vectorized over the static limited-joint list) ---
     jids, dofs, sides = _limit_meta(m)
@@ -257,7 +286,9 @@ def solve_contacts(
     aref = rows.aref * rows.active
     reg = jnp.where(rows.active > 0, rows.reg, 1.0)
 
-    minv_jt = jax.scipy.linalg.cho_solve(mm_factor, J.T)  # (nv, nefc)
+    from judo_tpu.physics import linalg
+
+    minv_jt = linalg.cho_solve(mm_factor, J.T)  # (nv, nefc)
     b = J @ qacc_smooth - aref
     f = solve_dual_qp_matfree(J, minv_jt, reg, b, iterations=max(m.solver_iterations, 8))
     return qacc_smooth + minv_jt @ f

@@ -39,8 +39,10 @@ def forward(m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray) -> ForwardResul
     qfrc_actuator = smooth.actuation(m, s, ctrl)
     qfrc_smooth = qfrc_actuator + qfrc_passive - qfrc_bias
 
-    mm_factor = jax.scipy.linalg.cho_factor(mm)
-    qacc_smooth = jax.scipy.linalg.cho_solve(mm_factor, qfrc_smooth)
+    from judo_tpu.physics import linalg
+
+    mm_factor = linalg.cholesky(mm)
+    qacc_smooth = linalg.cho_solve(mm_factor, qfrc_smooth)
 
     from judo_tpu.physics import collision, solver
 
@@ -63,11 +65,16 @@ def forward(m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray) -> ForwardResul
 def _integrate_pos(m: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray, h) -> jnp.ndarray:
     """mj_integratePos semantics: joint-type-aware position update."""
     out = qpos
+    scalar = [j for j in range(m.njnt) if m.jnt_type[j] in (SLIDE, HINGE)]
+    if scalar:
+        qadrs = jnp.asarray([m.jnt_qposadr[j] for j in scalar])
+        dadrs = jnp.asarray([m.jnt_dofadr[j] for j in scalar])
+        out = out.at[qadrs].add(h * qvel[dadrs])
     for j in range(m.njnt):
         jt = m.jnt_type[j]
         qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
         if jt in (SLIDE, HINGE):
-            out = out.at[qadr].add(h * qvel[dadr])
+            pass
         elif jt == BALL:
             q = quat_integrate(qpos[qadr : qadr + 4], qvel[dadr : dadr + 3], h)
             out = out.at[qadr : qadr + 4].set(q)
@@ -103,10 +110,10 @@ def step_with_forward(
             act_kv = act_kv.at[dadr].add(-m.actuator_biasprm[u, 2] * gear * gear)
         damp = damp + act_kv
 
+    from judo_tpu.physics import linalg
+
     mh = res.mass_matrix + h * jnp.diag(damp)
-    dv = jax.scipy.linalg.cho_solve(
-        jax.scipy.linalg.cho_factor(mh), h * (res.mass_matrix @ res.qacc)
-    )
+    dv = linalg.spd_solve(mh, h * (res.mass_matrix @ res.qacc))
     qvel_new = s.qvel + dv
 
     qpos_new = _integrate_pos(m, s.qpos, qvel_new, h)

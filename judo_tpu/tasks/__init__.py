@@ -5,9 +5,14 @@ from typing import Type
 from judo_tpu.tasks.base import Task, TaskConfig
 from judo_tpu.tasks.cartpole import Cartpole, CartpoleConfig
 from judo_tpu.tasks.cylinder_push import CylinderPush, CylinderPushConfig
+from judo_tpu.tasks.fr3_pick import FR3Pick, FR3PickConfig
+from judo_tpu.tasks.caltech_leap_cube import CaltechLeapCube, CaltechLeapCubeConfig
 from judo_tpu.tasks.leap_cube import LeapCube, LeapCubeConfig
+from judo_tpu.tasks.leap_cube_down import LeapCubeDown, LeapCubeDownConfig
 from judo_tpu.tasks.spot.spot_base import SpotBase, SpotBaseConfig
+from judo_tpu.tasks.spot.spot_box_push import SpotBoxPush, SpotBoxPushConfig
 from judo_tpu.tasks.spot.spot_navigate import SpotNavigate, SpotNavigateConfig
+from judo_tpu.tasks.spot.spot_tire_roll import SpotTireRoll, SpotTireRollConfig
 
 _registered_tasks: dict[str, tuple[Type[Task], Type[TaskConfig]]] = {}
 
@@ -22,20 +27,30 @@ def get_registered_tasks() -> dict[str, tuple[Type[Task], Type[TaskConfig]]]:
     return _registered_tasks
 
 
-for _cls in (Cartpole, CylinderPush, LeapCube, SpotNavigate):
+for _cls in (Cartpole, CylinderPush, FR3Pick, LeapCube, LeapCubeDown, CaltechLeapCube, SpotNavigate, SpotBoxPush, SpotTireRoll):
     register_task(_cls.name, _cls)
 
 __all__ = [
     "Cartpole",
     "CartpoleConfig",
+    "FR3Pick",
+    "FR3PickConfig",
     "CylinderPush",
     "CylinderPushConfig",
+    "CaltechLeapCube",
+    "CaltechLeapCubeConfig",
     "LeapCube",
     "LeapCubeConfig",
+    "LeapCubeDown",
+    "LeapCubeDownConfig",
     "SpotBase",
     "SpotBaseConfig",
+    "SpotBoxPush",
+    "SpotBoxPushConfig",
     "SpotNavigate",
     "SpotNavigateConfig",
+    "SpotTireRoll",
+    "SpotTireRollConfig",
     "Task",
     "TaskConfig",
     "get_registered_tasks",

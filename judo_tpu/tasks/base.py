@@ -62,6 +62,8 @@ class Task(Generic[ConfigT]):
     # solver tightness for TPU sequential depth (the sim side uses the model's
     # own opt.iterations)
     planning_solver_iterations: int = 25
+    # optional planner-side collision pruning: None keeps every MuJoCo pair
+    planner_collision_filter = None
 
     def __init__(
         self,
@@ -80,7 +82,10 @@ class Task(Generic[ConfigT]):
         self.sim_model = self.model if sim_model_path is None else MjModel.from_xml_path(str(sim_model_path))
         # device planning model (lowered once; shared by every rollout)
         self.planning_model: PhysicsModel = put_model(
-            self.model, dtype=planning_dtype, solver_iterations=self.planning_solver_iterations
+            self.model,
+            dtype=planning_dtype,
+            solver_iterations=self.planning_solver_iterations,
+            collision_pair_filter=self.planner_collision_filter,
         )
 
     def _process_spec(self) -> None:

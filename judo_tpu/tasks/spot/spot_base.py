@@ -35,11 +35,26 @@ class SpotBaseConfig(TaskConfig):
 ConfigT = TypeVar("ConfigT", bound=SpotBaseConfig)
 
 
+def _spot_planner_pairs(m, g1: int, g2: int) -> bool:
+    """Planner contact budget: keep ground contacts and object contacts, drop
+    robot self-collision (the locomotion policy, not the planner, is
+    responsible for leg clearance)."""
+    b1, b2 = int(m.geom_bodyid[g1]), int(m.geom_bodyid[g2])
+    import mujoco as _mj
+
+    name1 = _mj.mj_id2name(m, _mj.mjtObj.mjOBJ_BODY, b1) or ""
+    name2 = _mj.mj_id2name(m, _mj.mjtObj.mjOBJ_BODY, b2) or ""
+    is_object = ("box_body" in (name1, name2)) or ("tire" in (name1, name2))
+    is_ground = b1 == 0 or b2 == 0
+    return is_ground or is_object
+
+
 class SpotBase(Task[ConfigT], Generic[ConfigT]):
     """Flexible Spot locomotion/manipulation base with policy-in-the-loop."""
 
     name: str = "spot_base"
     config_t: type[SpotBaseConfig] = SpotBaseConfig  # type: ignore[assignment]
+    planner_collision_filter = staticmethod(_spot_planner_pairs)
 
     def __init__(
         self,

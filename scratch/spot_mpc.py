@@ -1,4 +1,5 @@
 import sys, time; sys.path.insert(0, "/root/repo")
+import os; os.environ["JAX_PLATFORMS"] = "cpu"
 import jax; jax.config.update("jax_platforms", "cpu")
 import numpy as np
 from judo_tpu.controller import Controller, ControllerConfig
