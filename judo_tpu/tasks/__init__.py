@@ -13,6 +13,7 @@ from judo_tpu.tasks.spot.spot_base import SpotBase, SpotBaseConfig
 from judo_tpu.tasks.spot.spot_box_push import SpotBoxPush, SpotBoxPushConfig
 from judo_tpu.tasks.spot.spot_navigate import SpotNavigate, SpotNavigateConfig
 from judo_tpu.tasks.spot.spot_tire_roll import SpotTireRoll, SpotTireRollConfig
+from judo_tpu.tasks.spot.spot_tire_upright import SpotTireUpright, SpotTireUprightConfig
 
 _registered_tasks: dict[str, tuple[Type[Task], Type[TaskConfig]]] = {}
 
@@ -27,7 +28,7 @@ def get_registered_tasks() -> dict[str, tuple[Type[Task], Type[TaskConfig]]]:
     return _registered_tasks
 
 
-for _cls in (Cartpole, CylinderPush, FR3Pick, LeapCube, LeapCubeDown, CaltechLeapCube, SpotNavigate, SpotBoxPush, SpotTireRoll):
+for _cls in (Cartpole, CylinderPush, FR3Pick, LeapCube, LeapCubeDown, CaltechLeapCube, SpotNavigate, SpotBoxPush, SpotTireRoll, SpotTireUpright):
     register_task(_cls.name, _cls)
 
 __all__ = [
@@ -51,6 +52,8 @@ __all__ = [
     "SpotNavigateConfig",
     "SpotTireRoll",
     "SpotTireRollConfig",
+    "SpotTireUpright",
+    "SpotTireUprightConfig",
     "Task",
     "TaskConfig",
     "get_registered_tasks",

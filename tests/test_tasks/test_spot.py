@@ -113,3 +113,42 @@ def test_gripper_selection_mask():
     ctrl[10] = 0.5  # selection > 0 -> open command passes
     out = np.asarray(task.task_to_sim_ctrl(jnp.asarray(ctrl)))
     assert out[9] == pytest.approx(sc.GRIPPER_OPEN_POS)
+
+
+@pytest.mark.parametrize(
+    "task_cls,expected_nu",
+    [
+        ("SpotNavigate", 3),
+        ("SpotBoxPush", 10),
+        ("SpotTireRoll", 11),
+        ("SpotTireUpright", 17),
+    ],
+)
+def test_spot_task_family(task_cls, expected_nu):
+    """Parity with tests/test_spot_tasks.py:26-117: nu per feature combo,
+    reward shape/finiteness on random inputs, reset pose finiteness."""
+    import judo_tpu.tasks as tasks_mod
+
+    np.random.seed(0)
+    task = getattr(tasks_mod, task_cls)()
+    assert task.nu == expected_nu
+    R, T = 5, 3
+    rng = np.random.default_rng(1)
+    states = jnp.asarray(rng.standard_normal((R, T, task.model.nq + task.model.nv)))
+    sensors = jnp.asarray(rng.standard_normal((R, T, task.model.nsensordata)))
+    controls = jnp.asarray(rng.standard_normal((R, T, task.nu)))
+    r = task.reward(states, sensors, controls, task.task_params(jnp.float64), {})
+    assert r.shape == (R,)
+    assert bool(jnp.isfinite(r).all())
+    pose = task.reset_pose
+    assert pose.shape == (task.model.nq,)
+    assert np.isfinite(pose).all()
+
+
+def test_tire_upright_success_predicate():
+    np.random.seed(0)
+    from judo_tpu.tasks import SpotTireUpright
+
+    task = SpotTireUpright()
+    # reset leaves the tire flat: y-axis vertical -> not successful
+    assert not task.success()
