@@ -5,7 +5,14 @@ process hosts the sim + controller threads (+ visualizer when available), so
 the CLI is a plain argparse app:
 
     python -m judo_tpu.cli run --task cartpole --optimizer ps --seconds 10
+    python -m judo_tpu.cli run --config example_configs/example.yaml
     python -m judo_tpu.cli benchmark --tasks cartpole --optimizers ps,mppi
+
+The ``--config`` YAML mirrors the reference's hydra launch config
+(judo/configs/judo_dora_default.yaml): top-level ``task`` / ``optimizer`` /
+``simulation_backend`` knobs, ``custom_tasks`` / ``custom_optimizers`` dotted
+class paths, and per-task ``controller_config_overrides`` /
+``optimizer_config_overrides`` registered into the override registry.
 """
 
 from __future__ import annotations
@@ -15,10 +22,55 @@ import threading
 import time
 
 
+def apply_launch_config(args: argparse.Namespace) -> None:
+    """Load a YAML launch config and fold it into the parsed args.
+
+    Mirrors the reference's launch-time composition (judo/cli.py:144-152 +
+    judo/app/utils.py:19-44 + visualizer override registration,
+    judo/visualizers/visualizer.py:75-97) without a hydra dependency.
+    """
+    if not getattr(args, "config", None):
+        return
+    import yaml
+
+    from judo_tpu.app.utils import register_optimizers_from_cfg, register_tasks_from_cfg
+    from judo_tpu.config import set_config_overrides
+    from judo_tpu.controller import ControllerConfig
+    from judo_tpu.optimizers import get_registered_optimizers
+
+    with open(args.config) as f:
+        cfg = yaml.safe_load(f) or {}
+
+    if cfg.get("custom_tasks"):
+        register_tasks_from_cfg(cfg["custom_tasks"])
+    if cfg.get("custom_optimizers"):
+        register_optimizers_from_cfg(cfg["custom_optimizers"])
+
+    for task_name, values in (cfg.get("controller_config_overrides") or {}).items():
+        set_config_overrides(task_name, ControllerConfig, dict(values))
+    optimizers = get_registered_optimizers()
+    for task_name, per_opt in (cfg.get("optimizer_config_overrides") or {}).items():
+        for opt_name, values in (per_opt or {}).items():
+            entry = optimizers.get(opt_name)
+            if entry is None:
+                raise KeyError(f"optimizer_config_overrides: unknown optimizer '{opt_name}'")
+            set_config_overrides(task_name, entry[1], dict(values))
+
+    # YAML values are defaults; explicit CLI flags (non-default) win
+    defaults = {"task": "cylinder_push", "optimizer": "ps", "sim_backend": "mujoco"}
+    if cfg.get("task") and args.task == defaults["task"]:
+        args.task = cfg["task"]
+    if cfg.get("optimizer") and args.optimizer == defaults["optimizer"]:
+        args.optimizer = cfg["optimizer"]
+    if cfg.get("simulation_backend") and args.sim_backend == defaults["sim_backend"]:
+        args.sim_backend = cfg["simulation_backend"]
+
+
 def _cmd_run(args: argparse.Namespace) -> None:
     from judo_tpu.app.bus import MessageBus
     from judo_tpu.app.nodes import ControllerNode, SimulationNode
 
+    apply_launch_config(args)
     bus = MessageBus()
     sim_node = SimulationNode(bus, args.task, backend=args.sim_backend)
     ctrl_node = ControllerNode(bus, args.task, args.optimizer)
@@ -67,6 +119,7 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--task", default="cylinder_push")
     run.add_argument("--optimizer", default="ps")
     run.add_argument("--sim-backend", default="mujoco")
+    run.add_argument("--config", default="", help="YAML launch config (see example_configs/)")
     run.add_argument("--seconds", type=float, default=10.0, help="<=0 runs until Ctrl+C")
     run.set_defaults(func=_cmd_run)
 
