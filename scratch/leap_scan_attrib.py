@@ -10,7 +10,7 @@ stepmod = importlib.import_module('judo_tpu.physics.step')
 
 task = LeapCube()
 pm = task.planning_model
-R, T = 320, 100
+R, T = 320, int(os.environ.get("T", "20"))
 dtype = pm.qpos0.dtype
 rng = np.random.default_rng(0)
 ctrl = jnp.asarray(np.tile(QPOS_HOME[7:], (R, T, 1)) + 0.05*rng.standard_normal((R, T, 16)), dtype)
