@@ -130,5 +130,7 @@ def test_sampling_is_jittable_and_rollout0_is_nominal():
 
 
 def test_registry_contents():
+    # Built-ins must always be present; other tests may register extras
+    # (the registry is global, mirroring the reference's).
     regs = get_registered_optimizers()
-    assert set(regs) == {"cem", "mppi", "ps"}
+    assert {"cem", "mppi", "ps"} <= set(regs)
