@@ -78,3 +78,18 @@ def cho_solve(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:  # noqa: E741
 def spd_solve(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """One-shot SPD solve."""
     return cho_solve(cholesky(m), b)
+
+
+def cho_inverse(l: jnp.ndarray) -> jnp.ndarray:  # noqa: E741
+    """Explicit inverse (L L^T)^-1 from the factor, symmetrized.
+
+    Materializing M^-1 (n columns, n ~ 4-25) and applying it with matmuls is
+    far cheaper on TPU than running the unrolled substitutions against wide
+    right-hand sides (e.g. the (nv, nefc~280) contact-Jacobian transpose):
+    the substitutions cost O(n) sequential tiny ops *per use*, the matmul is
+    a single MXU-friendly op.
+    """
+    n = l.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=l.dtype), l.shape)
+    inv = cho_solve(l, eye)
+    return 0.5 * (inv + inv.swapaxes(-1, -2))

@@ -212,12 +212,24 @@ def assemble_constraints(
     )
 
 
+def num_constraint_rows(m: PhysicsModel) -> int:
+    """Static efc row count produced by assemble_constraints (for warm-start
+    buffers carried across scan steps)."""
+    from judo_tpu.physics.collision import num_contact_slots
+
+    neq_joint = sum(1 for e in range(m.neq) if m.eq_type[e] == EQ_JOINT)
+    nlimits = len(_limit_meta(m)[0])
+    ncon = num_contact_slots(m) if m.contact_enabled else 0
+    return 2 * neq_joint + nlimits + 4 * ncon
+
+
 def solve_dual_qp_matfree(
     J: jnp.ndarray,  # (nefc, nv)
     minv_jt: jnp.ndarray,  # (nv, nefc)
     reg: jnp.ndarray,  # (nefc,)
     b: jnp.ndarray,  # (nefc,)
     iterations: int,
+    f_warm: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """min_{f>=0} 0.5 f^T (J M^-1 J^T + diag(reg)) f + f^T b via APGD.
 
@@ -260,7 +272,7 @@ def solve_dual_qp_matfree(
         t_new = jnp.where(restart, jnp.asarray(1.0, dtype), t_new)
         return (f_new, y_new, t_new), None
 
-    f0 = jnp.zeros(nefc, dtype)
+    f0 = jnp.zeros(nefc, dtype) if f_warm is None else jnp.maximum(f_warm, 0.0)
     (f, _, _), _ = jax.lax.scan(body, (f0, f0, jnp.asarray(1.0, dtype)), None, length=iterations)
     return f
 
@@ -271,24 +283,34 @@ def solve_contacts(
     kin: Kinematics,
     contacts: Contacts,
     mm: jnp.ndarray,
-    mm_factor,
+    minv: jnp.ndarray,
     qpos: jnp.ndarray,
     qvel: jnp.ndarray,
     qacc_smooth: jnp.ndarray,
-) -> jnp.ndarray:
-    """Full constrained acceleration given smooth dynamics + contacts."""
+    f_warm: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full constrained acceleration given smooth dynamics + contacts.
+
+    ``minv`` is the explicit inverse mass matrix (see linalg.cho_inverse).
+    ``f_warm`` warm-starts the dual iteration from the previous physics step's
+    constraint forces (carried through the rollout scan) — the TPU-native
+    stand-in for MuJoCo's per-MjData warm-start (efc_force persistence), which
+    lets the fixed APGD iteration count stay small.
+
+    Returns (qacc, efc_force).
+    """
     rows = assemble_constraints(m, com, contacts, qpos, qvel)
     nefc = rows.J.shape[0]
     if nefc == 0:
-        return qacc_smooth
+        return qacc_smooth, jnp.zeros(0, qacc_smooth.dtype)
 
     J = rows.J * rows.active[:, None]
     aref = rows.aref * rows.active
     reg = jnp.where(rows.active > 0, rows.reg, 1.0)
 
-    from judo_tpu.physics import linalg
-
-    minv_jt = linalg.cho_solve(mm_factor, J.T)  # (nv, nefc)
+    minv_jt = minv @ J.T  # (nv, nefc) one batched matmul instead of nefc substitutions
     b = J @ qacc_smooth - aref
-    f = solve_dual_qp_matfree(J, minv_jt, reg, b, iterations=max(m.solver_iterations, 8))
-    return qacc_smooth + minv_jt @ f
+    f = solve_dual_qp_matfree(
+        J, minv_jt, reg, b, iterations=max(m.solver_iterations, 8), f_warm=f_warm
+    )
+    return qacc_smooth + minv_jt @ f, f

@@ -26,10 +26,18 @@ class ForwardResult(NamedTuple):
     mass_matrix: jnp.ndarray  # (nv, nv)
     kin: smooth.Kinematics
     sensordata: jnp.ndarray  # (nsensordata,)
+    efc_force: jnp.ndarray  # (nefc,) constraint forces (warm-start carry)
 
 
-def forward(m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray) -> ForwardResult:
-    """Full forward dynamics at the current state (mj_forward semantics)."""
+def forward(
+    m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray, f_warm: jnp.ndarray | None = None
+) -> ForwardResult:
+    """Full forward dynamics at the current state (mj_forward semantics).
+
+    ``f_warm`` optionally warm-starts the constraint solver from the previous
+    step's efc forces (MuJoCo's warm-start semantics, carried explicitly
+    through the rollout scan instead of mutated in MjData).
+    """
     kin = smooth.kinematics(m, s)
     com = smooth.com_quantities(m, kin)
     vel = smooth.velocity(m, com, s.qvel)
@@ -42,24 +50,25 @@ def forward(m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray) -> ForwardResul
     from judo_tpu.physics import linalg
 
     mm_factor = linalg.cholesky(mm)
-    qacc_smooth = linalg.cho_solve(mm_factor, qfrc_smooth)
 
     from judo_tpu.physics import collision, solver
 
     has_contacts = m.contact_enabled and collision.num_contact_slots(m) > 0
-    has_limits = m.limit_enabled and any(
-        m.jnt_limited[j] and m.jnt_type[j] in (SLIDE, HINGE) for j in range(m.njnt)
-    )
-    if has_contacts or has_limits:
+    if solver.num_constraint_rows(m) > 0:
+        minv = linalg.cho_inverse(mm_factor)
+        qacc_smooth = minv @ qfrc_smooth
         contacts = (
             collision.find_contacts(m, kin) if has_contacts else collision.empty_contacts(s.qpos.dtype)
         )
-        qacc = solver.solve_contacts(m, com, kin, contacts, mm, mm_factor, s.qpos, s.qvel, qacc_smooth)
+        qacc, efc_force = solver.solve_contacts(
+            m, com, kin, contacts, mm, minv, s.qpos, s.qvel, qacc_smooth, f_warm
+        )
     else:
-        qacc = qacc_smooth
+        qacc = linalg.cho_solve(mm_factor, qfrc_smooth)
+        efc_force = jnp.zeros(0, s.qpos.dtype)
 
     sensordata = evaluate_sensors(m, kin, s.qpos, s.qvel)
-    return ForwardResult(qacc, qfrc_smooth, mm, kin, sensordata)
+    return ForwardResult(qacc, qfrc_smooth, mm, kin, sensordata, efc_force)
 
 
 def _integrate_pos(m: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray, h) -> jnp.ndarray:
@@ -86,7 +95,7 @@ def _integrate_pos(m: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray, h) -> 
 
 
 def step_with_forward(
-    m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray
+    m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray, f_warm: jnp.ndarray | None = None
 ) -> tuple[PhysicsState, ForwardResult]:
     """One physics step, also returning the forward-dynamics intermediates.
 
@@ -98,7 +107,7 @@ def step_with_forward(
       MuJoCo's mj_implicitSkip keeps after dropping the RNE derivative.
     """
     h = m.timestep
-    res = forward(m, s, ctrl)
+    res = forward(m, s, ctrl, f_warm)
 
     damp = m.dof_damping
     if m.integrator == INT_IMPLICITFAST:
@@ -160,13 +169,23 @@ def rollout(
     Batch over rollouts with ``jax.vmap(rollout, in_axes=(None, 0, 0))``.
     """
 
-    def body(s: PhysicsState, ctrl: jnp.ndarray):
+    from judo_tpu.physics.solver import num_constraint_rows
+
+    nefc = num_constraint_rows(m)
+
+    def body(carry, ctrl: jnp.ndarray):
+        s, f = carry
         res = None
         for _ in range(physics_substeps):
-            s, res = step_with_forward(m, s, ctrl)
-        return s, (jnp.concatenate([s.qpos, s.qvel]), res.sensordata)
+            s, res = step_with_forward(m, s, ctrl, f)
+            if res.efc_force.shape[0] == nefc:
+                f = res.efc_force
+        return (s, f), (jnp.concatenate([s.qpos, s.qvel]), res.sensordata)
 
     if unroll is None:
         unroll = default_unroll(m)
-    _, (states, sensors) = jax.lax.scan(body, s0, controls, unroll=min(unroll, controls.shape[0]))
+    f0 = jnp.zeros(nefc, s0.qpos.dtype)
+    (_, _), (states, sensors) = jax.lax.scan(
+        body, (s0, f0), controls, unroll=min(unroll, controls.shape[0])
+    )
     return RolloutOutput(states, sensors)

@@ -118,6 +118,7 @@ def spot_policy_step(
     command: jnp.ndarray,
     last_policy_output: jnp.ndarray,
     physics_substeps: int = 2,
+    f_warm: jnp.ndarray | None = None,
 ):
     """One 50 Hz policy tick: observation -> MLP -> ctrl -> substeps physics."""
     obs = build_observation(policy, s.qpos, s.qvel, command, last_policy_output)
@@ -125,7 +126,9 @@ def spot_policy_step(
     ctrl = control_from_policy(policy, policy_output, command)
     res = None
     for _ in range(physics_substeps):
-        s, res = step_with_forward(m, s, ctrl)
+        s, res = step_with_forward(m, s, ctrl, f_warm)
+        if f_warm is None or res.efc_force.shape == f_warm.shape:
+            f_warm = res.efc_force
     return s, policy_output, res
 
 
@@ -146,12 +149,15 @@ def policy_rollout(
     """The TPU equivalent of System::rollout / threadedRollout: scan over
     commands with the policy in the loop; vmap for the candidate batch."""
 
-    def body(carry, cmd):
-        s, pout = carry
-        s, pout, res = spot_policy_step(m, policy, s, cmd, pout, physics_substeps)
-        return (s, pout), (jnp.concatenate([s.qpos, s.qvel]), res.sensordata)
+    from judo_tpu.physics.solver import num_constraint_rows
 
-    (s_final, pout_final), (states, sensors) = jax.lax.scan(
-        body, (s0, last_policy_output), commands
+    def body(carry, cmd):
+        s, pout, f = carry
+        s, pout, res = spot_policy_step(m, policy, s, cmd, pout, physics_substeps, f)
+        return (s, pout, res.efc_force), (jnp.concatenate([s.qpos, s.qvel]), res.sensordata)
+
+    f0 = jnp.zeros(num_constraint_rows(m), s0.qpos.dtype)
+    (s_final, pout_final, _), (states, sensors) = jax.lax.scan(
+        body, (s0, last_policy_output, f0), commands
     )
     return PolicyRolloutOutput(states, sensors, pout_final)

@@ -71,11 +71,11 @@ if "3" in ONLY:
 # 4) full step with solver iterations forced low
 orig = solver.solve_dual_qp_matfree
 def make_fullstep(iters):
-    def f(J, minv_jt, reg, b, iterations):
-        return orig(J, minv_jt, reg, b, iters)
+    def f(J, minv_jt, reg, b, iterations, f_warm=None):
+        return orig(J, minv_jt, reg, b, iters, f_warm)
     return f
 if "4" in ONLY:
-    for it in (1,):
+    for it in (1, 8):
         solver.solve_dual_qp_matfree = make_fullstep(it)
         bench(f"scan full step (APGD iters={it})", scan_of(lambda s, u: stepmod.step(pm, s, u)), ctrl)
     solver.solve_dual_qp_matfree = orig
