@@ -32,7 +32,13 @@ class SimulationNode:
         from judo_tpu.tasks import get_registered_tasks
 
         task_cls, _ = get_registered_tasks()[init_task]
-        self.sim: Simulation = get_simulation_backend(backend)(task_cls())
+        task = task_cls()
+        # auto-upgrade: locomotion-policy tasks need the policy-in-the-loop
+        # plant (reference judo/app/dora/simulation.py:34-43)
+        self._requested_backend = backend
+        if backend == "mujoco" and task.uses_locomotion_policy:
+            backend = "mujoco_policy"
+        self.sim: Simulation = get_simulation_backend(backend)(task)
         self._stop = threading.Event()
         self._lock = threading.Lock()
         bus.subscribe("task", self._on_task)
@@ -41,7 +47,22 @@ class SimulationNode:
 
     def _on_task(self, name: str) -> None:
         with self._lock:
-            self.sim.set_task(name)
+            from judo_tpu.simulation import PolicySimulation
+            from judo_tpu.tasks import get_registered_tasks
+
+            entry = get_registered_tasks().get(name)
+            if entry is None:
+                warnings.warn(f"unknown task '{name}'", stacklevel=1)
+                return
+            task = entry[0]()
+            if (
+                self._requested_backend == "mujoco"
+                and task.uses_locomotion_policy
+                and not isinstance(self.sim, PolicySimulation)
+            ):
+                self.sim = PolicySimulation(task)
+            else:
+                self.sim.set_task_instance(task)
 
     def _on_pause(self, _msg: Any) -> None:
         with self._lock:

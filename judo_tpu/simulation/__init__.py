@@ -3,9 +3,11 @@
 from judo_tpu.simulation.base import Simulation
 from judo_tpu.simulation.mj_simulation import MJSimulation
 from judo_tpu.simulation.jt_simulation import JTSimulation
+from judo_tpu.simulation.policy_simulation import PolicySimulation
 
 _backends = {
     "mujoco": MJSimulation,
+    "mujoco_policy": PolicySimulation,
     "judo_tpu": JTSimulation,
 }
 
@@ -20,4 +22,11 @@ def register_simulation_backend(name: str, cls) -> None:
     _backends[name] = cls
 
 
-__all__ = ["JTSimulation", "MJSimulation", "Simulation", "get_simulation_backend", "register_simulation_backend"]
+__all__ = [
+    "JTSimulation",
+    "MJSimulation",
+    "PolicySimulation",
+    "Simulation",
+    "get_simulation_backend",
+    "register_simulation_backend",
+]

@@ -21,7 +21,12 @@ class Simulation(ABC):
         entry = get_registered_tasks().get(task_name)
         assert entry is not None, f"Task {task_name} not found in task registry."
         task_cls, _ = entry
-        self.task = task_cls()
+        self.set_task_instance(task_cls())
+
+    def set_task_instance(self, task: Task) -> None:
+        """Switch to an already-constructed task (avoids double construction
+        when the caller needed the instance to pick a backend)."""
+        self.task = task
 
     def pause(self, paused: bool | None = None) -> None:
         self.paused = (not self.paused) if paused is None else paused

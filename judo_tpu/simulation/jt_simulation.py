@@ -30,8 +30,8 @@ class JTSimulation(Simulation):
             self.pm, qpos=self.task.data.qpos, qvel=self.task.data.qvel, time=self.task.data.time
         )
 
-    def set_task(self, task_name: str) -> None:
-        super().set_task(task_name)
+    def set_task_instance(self, task: Task) -> None:
+        super().set_task_instance(task)
         self._bind_task()
 
     def step(self, command: np.ndarray) -> None:

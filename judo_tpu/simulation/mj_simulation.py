@@ -25,8 +25,8 @@ class MJSimulation(Simulation):
         self.model = self.task.sim_model
         self.data = self.task.data
 
-    def set_task(self, task_name: str) -> None:
-        super().set_task(task_name)
+    def set_task_instance(self, task: Task) -> None:
+        super().set_task_instance(task)
         self._bind_task()
 
     def step(self, command: np.ndarray) -> None:
@@ -34,8 +34,13 @@ class MJSimulation(Simulation):
         (mj_simulation.py:33-46)."""
         if self.paused:
             return
-        ctrl = np.asarray(self.task.task_to_sim_ctrl(command))
-        self.data.ctrl[: ctrl.shape[-1]] = ctrl
+        ctrl = np.asarray(self.task.task_to_sim_ctrl(command)).ravel()
+        if ctrl.shape[0] != self.model.nu:
+            raise ValueError(
+                f"task_to_sim_ctrl produced {ctrl.shape[0]} dims but sim model has "
+                f"nu={self.model.nu}; policy tasks need the 'mujoco_policy' backend"
+            )
+        self.data.ctrl[:] = ctrl
         self.task.pre_sim_step()
         mujoco.mj_step(self.model, self.data)
         self.task.post_sim_step()

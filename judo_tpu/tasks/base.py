@@ -80,13 +80,24 @@ class Task(Generic[ConfigT]):
         self.data = MjData(self.model)
         self.model_path = model_path
         self.sim_model = self.model if sim_model_path is None else MjModel.from_xml_path(str(sim_model_path))
-        # device planning model (lowered once; shared by every rollout)
-        self.planning_model: PhysicsModel = put_model(
-            self.model,
-            dtype=planning_dtype,
-            solver_iterations=self.planning_solver_iterations,
-            collision_pair_filter=self.planner_collision_filter,
-        )
+        self._planning_dtype = planning_dtype
+        self._planning_model: PhysicsModel | None = None
+
+    @property
+    def planning_model(self) -> PhysicsModel:
+        """Device planning model, lowered lazily on first use.
+
+        The simulation process never touches it, so task construction on the
+        sim side stays cheap; the controller pays the lowering cost once.
+        """
+        if self._planning_model is None:
+            self._planning_model = put_model(
+                self.model,
+                dtype=self._planning_dtype,
+                solver_iterations=self.planning_solver_iterations,
+                collision_pair_filter=self.planner_collision_filter,
+            )
+        return self._planning_model
 
     def _process_spec(self) -> None:
         """Hook for subclasses to modify the spec before compile (base.py:42)."""
