@@ -152,6 +152,14 @@ class ControllerNode:
         with self._lock:
             self._paused = not self._paused
 
+    def warmup(self) -> None:
+        """Compile + run the solve once and discard the result, so the paced
+        spin loop never blocks on first-jit (the reference pre-warms caches
+        before forking its nodes, judo/cli.py:126-141)."""
+        with self._lock:
+            self.controller.update_action()
+            self.controller.reset()
+
     def step_once(self) -> float | None:
         """One plan step; returns plan time in seconds (None if skipped)."""
         with self._lock:

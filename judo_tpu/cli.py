@@ -75,6 +75,23 @@ def _cmd_run(args: argparse.Namespace) -> None:
     sim_node = SimulationNode(bus, args.task, backend=args.sim_backend)
     ctrl_node = ControllerNode(bus, args.task, args.optimizer)
 
+    # Pre-warm BEFORE starting the paced threads (the analogue of the
+    # reference's _warm_caches, judo/cli.py:126-141): the first solve triggers
+    # the XLA compile (tens of seconds on a tunneled TPU) and must not happen
+    # while the sim thread contends for the GIL or while --seconds is ticking.
+    print("warming up: compiling the solve (first run may take ~30s)...", flush=True)
+    t0 = time.perf_counter()
+    ctrl_node.warmup()
+    print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    gui_server = None
+    if getattr(args, "gui", False):
+        from judo_tpu.visualizers.server import GuiServer
+
+        gui_server = GuiServer(bus, ctrl_node, sim_node, port=args.gui_port)
+        gui_server.start()
+        print(f"GUI: http://localhost:{gui_server.port}", flush=True)
+
     threads = [
         threading.Thread(target=sim_node.spin, daemon=True),
         threading.Thread(target=ctrl_node.spin, daemon=True),
@@ -91,15 +108,21 @@ def _cmd_run(args: argparse.Namespace) -> None:
             if plan_time is not None and state is not None:
                 print(
                     f"t={state.time:7.2f}s plan={plan_time * 1e3:7.1f}ms "
-                    f"qpos[:3]={state.qpos[:3].round(3)}"
+                    f"qpos[:3]={state.qpos[:3].round(3)}",
+                    flush=True,
                 )
     except KeyboardInterrupt:
         pass
     finally:
+        # graceful stop+join (the reference's cleanup discipline,
+        # judo/cli.py:26-107): never abandon threads mid-dispatch
         sim_node.stop()
         ctrl_node.stop()
         for t in threads:
-            t.join(timeout=2.0)
+            t.join(timeout=30.0)
+        if gui_server is not None:
+            gui_server.stop()
+        print("shutdown complete", flush=True)
 
 
 def _cmd_benchmark(args: argparse.Namespace) -> None:
@@ -121,6 +144,8 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--sim-backend", default="mujoco")
     run.add_argument("--config", default="", help="YAML launch config (see example_configs/)")
     run.add_argument("--seconds", type=float, default=10.0, help="<=0 runs until Ctrl+C")
+    run.add_argument("--gui", action="store_true", help="serve the browser GUI/renderer")
+    run.add_argument("--gui-port", type=int, default=8008)
     run.set_defaults(func=_cmd_run)
 
     bench = sub.add_parser("benchmark", help="plan-time distribution per task/optimizer pair")

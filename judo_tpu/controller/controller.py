@@ -214,6 +214,7 @@ class Controller:
         )
         return (
             type(self.optimizer).__name__,
+            bool(self.optimizer.stop_cond()),
             oc.num_rollouts,
             oc.num_nodes,
             bool(oc.use_noise_ramp),
@@ -287,7 +288,11 @@ class Controller:
 
             candidates = None
             states = sensors = rollout_controls = rewards = None
-            for _ in range(max_opt_iters):
+            # stop_cond is static (trace-time) like the reference's per-iter
+            # check (judo/controller/controller.py:250, optimizers/base.py:87-96):
+            # a True stop_cond truncates the unrolled optimization loop.
+            effective_iters = 1 if optimizer.stop_cond() else max_opt_iters
+            for _ in range(effective_iters):
                 rng, sub = jax.random.split(rng)
                 # sample + clip to normalized ctrlrange (:251-257)
                 cand_n, opt_state = optimizer.sample(opt_params, opt_state, nominal_n, sub)

@@ -9,9 +9,11 @@ import numpy as np
 from judo_tpu import MODEL_PATH
 
 # Locomotion policy: the reference ships the ONNX at judo/models/policies/;
-# we read the same network (extracted by native/onnx_extract) from either a
-# local copy or the reference checkout.
+# we vendor the extracted weights (spot_locomotion.jtw, produced once by
+# native/onnx_extract from that ONNX) so the repo runs standalone; a raw
+# .onnx (local or reference checkout) is accepted as a fallback.
 SPOT_LOCOMOTION_POLICY_CANDIDATES = (
+    MODEL_PATH / "policies" / "spot_locomotion.jtw",
     MODEL_PATH / "policies" / "spot_locomotion.onnx",
     "/root/reference/judo/models/policies/spot_locomotion.onnx",
 )

@@ -127,8 +127,18 @@ class MLPPolicy(NamedTuple):
 
 
 def mlp_from_onnx(onnx_path: str | Path, dtype=jnp.float32) -> MLPPolicy:
-    """Lower a Gemm/activation ONNX chain into an MLPPolicy."""
-    graph = extract_onnx(onnx_path)
+    """Lower a Gemm/activation ONNX chain into an MLPPolicy.
+
+    Accepts either a raw ``.onnx`` (extracted by the native parser) or an
+    already-extracted ``.jtw`` container (the vendored form shipped in
+    judo_tpu/models/policies/, so the repo runs standalone without the
+    reference checkout or the native toolchain).
+    """
+    onnx_path = Path(onnx_path)
+    if onnx_path.suffix == ".jtw":
+        graph = _read_container(onnx_path)
+    else:
+        graph = extract_onnx(onnx_path)
     layers: list[tuple[np.ndarray, np.ndarray]] = []
     acts: list[str] = []
     for op, ins, _outs in graph.nodes:
