@@ -161,5 +161,13 @@ def main() -> None:
     args.func(args)
 
 
+def benchmark_main() -> None:
+    """Console entry mirroring the reference's ``benchmark`` script."""
+    import sys
+
+    sys.argv = [sys.argv[0], "benchmark", *sys.argv[1:]]
+    main()
+
+
 if __name__ == "__main__":
     main()

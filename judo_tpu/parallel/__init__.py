@@ -1,3 +1,3 @@
-from judo_tpu.parallel.mesh import make_rollout_mesh, rollout_sharding
+from judo_tpu.parallel.mesh import ROLLOUT_AXIS, make_rollout_mesh, replicated, rollout_sharding
 
-__all__ = ["make_rollout_mesh", "rollout_sharding"]
+__all__ = ["ROLLOUT_AXIS", "make_rollout_mesh", "replicated", "rollout_sharding"]

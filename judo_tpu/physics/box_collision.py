@@ -2,14 +2,17 @@
 
 Box-box uses separating-axis minimization over the 15 candidate axes (6 face
 normals + 9 edge-edge cross products) and, for face-dominant contacts, a fixed
-Sutherland-Hodgman clip of the incident face against the reference face's side
-planes — producing a masked 8-candidate manifold from which the 4 deepest
-points are emitted. Edge-edge contacts collapse to a single point (slot 0).
+Sutherland-Hodgman-style clamp of the incident face against the reference
+face's rectangle — producing a 4-point manifold. Edge-edge contacts collapse
+to a single point (slot 0).
 
-Everything is branch-free (lax.select / where over fixed-size arrays) so one
-compiled kernel serves every pair and batches under vmap — this is the
-workhorse of the leap_cube / fr3 / spot contact scenes, replacing MuJoCo's
-dynamic-count mjc_BoxBox.
+Everything is branch-free AND gather-free: dynamic selections (best SAT axis,
+face axis indices, deepest-k points) are expressed as one-hot vectors built
+from comparisons (``iota == argmax`` / rank-counting), applied with small
+matmuls — a dynamic-index gather inside the rollout scan costs ~36 us on v5e
+(scratch/micro_overhead.py) while the one-hot form fuses into the
+surrounding elementwise graph. This is the workhorse of the leap_cube / fr3 /
+spot contact scenes, replacing MuJoCo's dynamic-count mjc_BoxBox.
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 class PairContacts(NamedTuple):
@@ -25,9 +29,23 @@ class PairContacts(NamedTuple):
     normal: jnp.ndarray  # (k, 3) from geom1 toward geom2
 
 
-def _support(size: jnp.ndarray, rot: jnp.ndarray, axis: jnp.ndarray) -> jnp.ndarray:
-    """Half-projection of an oriented box onto a unit axis."""
-    return jnp.sum(size * jnp.abs(rot.T @ axis))
+def _onehot_eq(n: int, idx: jnp.ndarray, dtype) -> jnp.ndarray:
+    """One-hot (n,) vector (iota == idx) without any gather."""
+    iota = jnp.arange(n)
+    return (iota == idx).astype(dtype)
+
+
+def _rank_select(keys: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Constant-shape selection matrix S (k, n): S @ x picks the k smallest
+    entries of ``keys`` in ascending order (stable; index tiebreak), built
+    from a comparison matrix instead of argsort+gather."""
+    n = keys.shape[0]
+    lt = keys[:, None] > keys[None, :]  # [i, j]: key_j < key_i
+    eq = keys[:, None] == keys[None, :]
+    idx_lt = jnp.tril(jnp.ones((n, n), bool), -1)  # [i, j]: j < i
+    rank = (lt | (eq & idx_lt)).sum(axis=1)  # (n,) rank of each entry
+    slots = jnp.arange(k)
+    return (rank[None, :] == slots[:, None]).astype(keys.dtype)  # (k, n)
 
 
 def box_box(pos1, mat1, size1, pos2, mat2, size2) -> PairContacts:
@@ -54,8 +72,9 @@ def box_box(pos1, mat1, size1, pos2, mat2, size2) -> PairContacts:
     bias = jnp.concatenate([jnp.zeros(6, dtype), jnp.full((9,), 1e-6, dtype)])
     score = jnp.where(valid, sep + bias, -jnp.inf)
     best = jnp.argmax(score)  # axis with LEAST penetration (max of negatives)
-    dist = sep[jnp.argmax(jnp.where(valid, sep, -jnp.inf))]  # true max separation
-    axis = axes_n[best]
+    dist = jnp.max(jnp.where(valid, sep, -jnp.inf))  # true max separation
+    oh_best = _onehot_eq(15, best, dtype)  # (15,)
+    axis = oh_best @ axes_n  # selected axis, gather-free
     # orient the normal from box1 toward box2
     sign = jnp.where(jnp.dot(axis, d) >= 0, 1.0, -1.0)
     normal = sign * axis
@@ -74,23 +93,22 @@ def box_box(pos1, mat1, size1, pos2, mat2, size2) -> PairContacts:
     # outward normal of the reference face (toward the incident box)
     ref_n = jnp.where(ref_is_1, normal, -normal)
 
-    # local axis index of the reference face
-    ref_align = jnp.abs(ref_mat.T @ ref_n)  # (3,)
+    # local axis index of the reference face -> one-hot basis vectors
+    ref_align_v = ref_mat.T @ ref_n  # (3,) signed alignment
+    ref_align = jnp.abs(ref_align_v)
     ref_ax = jnp.argmax(ref_align)
-    ref_sign = jnp.sign(jnp.dot(ref_mat.T @ ref_n, jnp.eye(3, dtype=dtype)[ref_ax]) + 1e-12)
+    e_ref = _onehot_eq(3, ref_ax, dtype)  # == eye[ref_ax]
+    ref_sign = jnp.sign(jnp.sum(ref_align_v * e_ref) + 1e-12)
 
     # incident face: the face of the incident box most anti-parallel to ref_n
     inc_align = inc_mat.T @ ref_n  # (3,)
     inc_ax = jnp.argmax(jnp.abs(inc_align))
-    inc_sign = -jnp.sign(inc_align[inc_ax] + 1e-12)  # face pointing against ref_n
+    e_ax = _onehot_eq(3, inc_ax, dtype)
+    inc_sign = -jnp.sign(jnp.sum(inc_align * e_ax) + 1e-12)  # against ref_n
+    e_u = _onehot_eq(3, (inc_ax + 1) % 3, dtype)
+    e_v = _onehot_eq(3, (inc_ax + 2) % 3, dtype)
 
-    eye = jnp.eye(3, dtype=dtype)
     # incident face vertices (4) in world
-    idx1 = (inc_ax + 1) % 3
-    idx2 = (inc_ax + 2) % 3
-    e_ax = eye[inc_ax]
-    e_u = eye[idx1]
-    e_v = eye[idx2]
     c_local = inc_sign * inc_size * e_ax
     u_local = inc_size * e_u
     v_local = inc_size * e_v
@@ -100,10 +118,8 @@ def box_box(pos1, mat1, size1, pos2, mat2, size2) -> PairContacts:
 
     # clip against the 4 side planes of the reference face (in ref local frame)
     vl = (verts - ref_pos) @ ref_mat  # (4, 3) in ref frame
-    ridx1 = (ref_ax + 1) % 3
-    ridx2 = (ref_ax + 2) % 3
-    r_u = eye[ridx1]
-    r_v = eye[ridx2]
+    r_u = _onehot_eq(3, (ref_ax + 1) % 3, dtype)
+    r_v = _onehot_eq(3, (ref_ax + 2) % 3, dtype)
     hu = jnp.sum(ref_size * r_u)
     hv = jnp.sum(ref_size * r_v)
     u = vl @ r_u  # (4,)
@@ -116,7 +132,7 @@ def box_box(pos1, mat1, size1, pos2, mat2, size2) -> PairContacts:
     v_c = jnp.clip(v, -hv, hv)
     # reconstruct world points on the incident face at the clamped (u, v):
     # solve for the incident-face plane height along ref face normal
-    w = vl @ eye[ref_ax]  # heights of incident verts in ref frame (4,)
+    w = vl @ e_ref  # heights of incident verts in ref frame (4,)
     # The 4 verts lie exactly on the incident-face plane, so w is affine in
     # (u, v): w = w0 + gu*(u-u0) + gv*(v-v0). The plane normal (in ref-local
     # coords) comes from a single cross product of two in-plane edge vectors
@@ -125,38 +141,37 @@ def box_box(pos1, mat1, size1, pos2, mat2, size2) -> PairContacts:
     n_pl = jnp.cross(vl[1] - vl[0], vl[2] - vl[0])
     n_u = jnp.dot(n_pl, r_u)
     n_v = jnp.dot(n_pl, r_v)
-    n_w = jnp.dot(n_pl, eye[ref_ax])
+    n_w = jnp.dot(n_pl, e_ref)
     # |n_w| >= |n_pl|/sqrt(3) by construction (incident face is the most
     # anti-parallel one); the guard only protects degenerate zero-size boxes.
     n_w = jnp.sign(n_w + 1e-30) * jnp.maximum(jnp.abs(n_w), 1e-12)
     w_c = w[0] - (n_u * (u_c - u[0]) + n_v * (v_c - v[0])) / n_w
-    h_ref = jnp.sum(ref_size * eye[ref_ax]) * ref_sign
-    depth = ref_sign * w_c - jnp.sum(ref_size * eye[ref_ax])  # negative = below face
+    h_ref = jnp.sum(ref_size * e_ref) * ref_sign
+    depth = ref_sign * w_c - jnp.sum(ref_size * e_ref)  # negative = below face
 
     # midpoint between face surface and incident point along ref axis
     mid_w = 0.5 * (w_c + h_ref)
-    pts_ref_frame = u_c[:, None] * r_u[None, :] + v_c[:, None] * r_v[None, :] + mid_w[:, None] * eye[ref_ax][None, :]
+    pts_ref_frame = u_c[:, None] * r_u[None, :] + v_c[:, None] * r_v[None, :] + mid_w[:, None] * e_ref[None, :]
     pts_world = ref_pos + pts_ref_frame @ ref_mat.T  # (4, 3)
     face_dists = depth  # (4,)
 
     # --- edge-edge single contact ---
     e1_ax = (best - 6) // 3
     e2_ax = (best - 6) % 3
-    a1 = mat1[:, e1_ax % 3]
-    a2 = mat2[:, e2_ax % 3]
-    # supporting edge midpoints: move to the corner along the other two axes
-    def edge_center(pos, mat, size, edge_axis_idx, toward):
-        c = pos
-        for k in range(3):
-            ek = mat[:, k]
-            mask = jnp.asarray(k, jnp.int32) != edge_axis_idx
-            s = jnp.sign(jnp.dot(ek, toward) + 1e-12)
-            sz = jnp.sum(size * jnp.eye(3, dtype=dtype)[k])
-            c = c + jnp.where(mask, s * sz, 0.0) * ek
-        return c
+    oh1 = _onehot_eq(3, jnp.clip(e1_ax, 0, 2), dtype)
+    oh2 = _onehot_eq(3, jnp.clip(e2_ax, 0, 2), dtype)
+    a1 = mat1 @ oh1  # column selection, gather-free
+    a2 = mat2 @ oh2
 
-    c1 = edge_center(pos1, mat1, size1, e1_ax % 3, normal)
-    c2 = edge_center(pos2, mat2, size2, e2_ax % 3, -normal)
+    # supporting edge midpoints: move to the corner along the other two axes
+    def edge_center(pos, mat, size, oh_edge, toward):
+        # per-axis signs toward the other box, zeroed on the edge axis
+        s = jnp.sign(mat.T @ toward + 1e-12)  # (3,)
+        contrib = (1.0 - oh_edge) * s * size  # (3,)
+        return pos + mat @ contrib
+
+    c1 = edge_center(pos1, mat1, size1, oh1, normal)
+    c2 = edge_center(pos2, mat2, size2, oh2, -normal)
     # closest points between the two infinite edge lines
     d12 = c2 - c1
     denom = jnp.maximum(1.0 - jnp.dot(a1, a2) ** 2, 1e-9)
@@ -171,15 +186,14 @@ def box_box(pos1, mat1, size1, pos2, mat2, size2) -> PairContacts:
     sep_positive = dist >= 0  # separated: keep slots inactive but report dist
     face_pts = pts_world
     face_d = jnp.where(face_dists < 0, face_dists, jnp.maximum(face_dists, dist))
-    edge_pts = jnp.concatenate([edge_pt[None], jnp.tile(edge_pt[None], (3, 1))])
-    edge_d = jnp.concatenate([dist[None], jnp.full((3,), big, dtype)])
+    edge_pts = jnp.tile(edge_pt[None], (4, 1))
+    slot0 = jnp.asarray(np.asarray([1.0, 0, 0, 0]), dtype)
+    edge_d = dist * slot0 + big * (1.0 - slot0)
 
     pts = jnp.where(is_face, face_pts, edge_pts)
     dists = jnp.where(is_face, face_d, edge_d)
     # when fully separated, emit the true distance on slot 0 only
-    dists = jnp.where(
-        sep_positive, jnp.concatenate([dist[None], jnp.full((3,), big, dtype)]), dists
-    )
+    dists = jnp.where(sep_positive, dist * slot0 + big * (1.0 - slot0), dists)
     normals = jnp.tile(normal[None], (4, 1))
     return PairContacts(dist=dists, pos=pts, normal=normals)
 
@@ -202,12 +216,12 @@ def capsule_box(pos_c, mat_c, size_c, pos_b, mat_b, size_b) -> PairContacts:
     delta = local - clamped
     dn = jnp.linalg.norm(delta, axis=1)
     outside = dn > 1e-9
-    # inside: push out along the smallest gap axis
+    # inside: push out along the smallest gap axis (one-hot from argmin)
     gaps = size_b - jnp.abs(local)  # (3, 3)
-    ax = jnp.argmin(gaps, axis=1)
-    eye = jnp.eye(3, dtype=dtype)
-    n_in_local = jnp.sign(jnp.take_along_axis(local, ax[:, None], 1)) * eye[ax]
-    d_in = -jnp.take_along_axis(gaps, ax[:, None], 1)[:, 0]
+    ax = jnp.argmin(gaps, axis=1)  # (3,)
+    ohax = (jnp.arange(3)[None, :] == ax[:, None]).astype(dtype)  # (3, 3)
+    n_in_local = jnp.sign(jnp.sum(local * ohax, axis=1, keepdims=True)) * ohax
+    d_in = -jnp.sum(gaps * ohax, axis=1)
     n_out_local = delta / jnp.maximum(dn, 1e-12)[:, None]
     n_local = jnp.where(outside[:, None], n_out_local, n_in_local)
     dists = jnp.where(outside, dn, d_in) - r
@@ -217,6 +231,6 @@ def capsule_box(pos_c, mat_c, size_c, pos_b, mat_b, size_b) -> PairContacts:
     surf = pos_b + surf_local @ mat_b.T
     pts = surf + 0.5 * dists[:, None] * normals
 
-    # keep the deepest 2 of the 3 candidates
-    order = jnp.argsort(dists)[:2]
-    return PairContacts(dist=dists[order], pos=pts[order], normal=normals[order])
+    # keep the deepest 2 of the 3 candidates (rank selection, no argsort)
+    sel = _rank_select(dists, 2)  # (2, 3)
+    return PairContacts(dist=sel @ dists, pos=sel @ pts, normal=sel @ normals)

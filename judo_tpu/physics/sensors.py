@@ -62,50 +62,64 @@ def _distance_sensor(m: PhysicsModel, kin: Kinematics, body1: int, body2: int, c
 def evaluate_sensors(
     m: PhysicsModel, kin: Kinematics, qpos: jnp.ndarray | None = None, qvel: jnp.ndarray | None = None
 ) -> jnp.ndarray:
-    """Flat (nsensordata,) vector matching MuJoCo's sensordata layout."""
+    """Flat (nsensordata,) vector matching MuJoCo's sensordata layout.
+
+    Assembled as per-sensor segments concatenated in address order (the
+    sensordata layout is static), never via indexed writes — ``.at[]``
+    updates inside the rollout scan are ~3 orders of magnitude slower than
+    fused elementwise ops on v5e (scratch/micro_overhead.py)."""
     dtype = kin.xpos.dtype
-    out = jnp.zeros(m.nsensordata, dtype)
+    segs: list[jnp.ndarray] = []
+    cursor = 0
+
+    def emit(adr: int, dim: int, val: jnp.ndarray | None) -> None:
+        nonlocal cursor
+        assert adr >= cursor, "sensordata layout must be address-ordered"
+        if adr > cursor:
+            segs.append(jnp.zeros(adr - cursor, dtype))
+        segs.append(jnp.zeros(dim, dtype) if val is None else jnp.reshape(val, (dim,)))
+        cursor = adr + dim
+
     for i in range(m.nsensor):
         stype = m.sensor_type[i]
         objtype = m.sensor_objtype[i]
         objid = m.sensor_objid[i]
         adr = m.sensor_adr[i]
+        dim = m.sensor_dim[i]
+        val: jnp.ndarray | None = None
         if stype == SENSOR_JOINTPOS and qpos is not None:
-            out = out.at[adr].set(qpos[m.jnt_qposadr[objid]])
+            val = qpos[m.jnt_qposadr[objid]]
         elif stype == SENSOR_JOINTVEL and qvel is not None:
-            out = out.at[adr].set(qvel[m.jnt_dofadr[objid]])
+            val = qvel[m.jnt_dofadr[objid]]
         elif stype == SENSOR_FRAMEPOS:
             if objtype == _OBJ_SITE:
                 val = kin.site_xpos[objid]
             elif objtype in (_OBJ_BODY, _OBJ_XBODY):
                 val = kin.xipos[objid] if objtype == _OBJ_BODY else kin.xpos[objid]
-            else:
-                continue  # unsupported frame object: leave zeros
-            # relative to a reference frame when specified (mjSENS_FRAMEPOS ref)
-            refid = m.sensor_refid[i]
-            if refid >= 0 and m.sensor_reftype[i] == _OBJ_SITE:
-                val = kin.site_xmat[refid].T @ (val - kin.site_xpos[refid])
-            out = out.at[adr : adr + 3].set(val)
+            if val is not None:
+                # relative to a reference frame when specified (mjSENS_FRAMEPOS ref)
+                refid = m.sensor_refid[i]
+                if refid >= 0 and m.sensor_reftype[i] == _OBJ_SITE:
+                    val = kin.site_xmat[refid].T @ (val - kin.site_xpos[refid])
         elif stype == SENSOR_DISTANCE and objtype == _OBJ_BODY:
             val = _distance_sensor(m, kin, objid, m.sensor_refid[i], m.sensor_cutoff[i])
-            out = out.at[adr].set(val)
         elif stype in (SENSOR_FRAMEXAXIS, SENSOR_FRAMEYAXIS, SENSOR_FRAMEZAXIS):
             col = {SENSOR_FRAMEXAXIS: 0, SENSOR_FRAMEYAXIS: 1, SENSOR_FRAMEZAXIS: 2}[stype]
             if objtype == _OBJ_SITE:
                 val = kin.site_xmat[objid][:, col]
             elif objtype in (_OBJ_BODY, _OBJ_XBODY):
                 val = kin.xmat[objid][:, col]
-            else:
-                continue
-            out = out.at[adr : adr + 3].set(val)
         elif stype == SENSOR_FRAMEQUAT:
             if objtype == _OBJ_SITE:
                 b = m.site_bodyid[objid]
                 val = quat_mul(kin.xquat[b], m.site_quat[objid])
             elif objtype in (_OBJ_BODY, _OBJ_XBODY):
                 val = quat_mul(kin.xquat[objid], m.body_iquat[objid]) if objtype == _OBJ_BODY else kin.xquat[objid]
-            else:
-                continue
-            out = out.at[adr : adr + 4].set(val)
         # other sensor types: zeros for now (extended as tasks require them)
-    return out
+        emit(adr, dim, val)
+
+    if cursor < m.nsensordata:
+        segs.append(jnp.zeros(m.nsensordata - cursor, dtype))
+    if not segs:
+        return jnp.zeros(m.nsensordata, dtype)
+    return jnp.concatenate(segs).astype(dtype)

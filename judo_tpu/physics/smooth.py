@@ -7,8 +7,15 @@ batching is vmap, time is lax.scan (see step.py).
 
 Tree loops run over bodies at *trace* time (nbody is tens at most), so the
 compiled program is a flat fused graph with no dynamic control flow — the
-XLA-friendly formulation. The per-dof mass-matrix assembly is one dense masked
-matmul, which is where the MXU earns its keep once batched.
+XLA-friendly formulation.
+
+**No gathers or scatters anywhere in the hot path.** Measured on v5e
+(scratch/micro_overhead.py): one gather+scatter pair inside a scan costs
+~36 us vs ~0.05 us for a fused elementwise op, and scatters blow up XLA
+compile time by orders of magnitude. Every indexed read of a *computed*
+tensor is therefore expressed as a constant one-hot matmul (selection
+matrices built in numpy at trace time), every indexed write as a stack /
+concatenate over a static layout, and tree accumulations as mask matmuls.
 
 This replaces the reference's CPU-threaded `mujoco.rollout` / C++
 `System::rollout` hot loops (judo/utils/mj_rollout_backend.py:84,
@@ -20,6 +27,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from judo_tpu.ops.math import quat_mul, quat_rotate, quat_to_mat
 from judo_tpu.physics.model import BALL, FREE, HINGE, SLIDE, PhysicsModel, PhysicsState
@@ -54,6 +62,15 @@ class Velocity(NamedTuple):
 def _axis_angle_quat(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     half = 0.5 * angle
     return jnp.concatenate([jnp.cos(half)[None], axis * jnp.sin(half)], axis=0)
+
+
+def _onehot(rows: int, cols: int, col_of_row, dtype) -> jnp.ndarray:
+    """Constant selection matrix S with S[r, col_of_row[r]] = 1 (numpy-built,
+    embedded as a literal): ``S @ X`` replaces the gather ``X[col_of_row]``."""
+    s = np.zeros((rows, cols), np.float64)
+    for r, c in enumerate(col_of_row):
+        s[r, int(c)] = 1.0
+    return jnp.asarray(s, dtype)
 
 
 def kinematics(m: PhysicsModel, s: PhysicsState) -> Kinematics:
@@ -97,6 +114,13 @@ def kinematics(m: PhysicsModel, s: PhysicsState) -> Kinematics:
         xpos.append(pos)
         xquat.append(quat)
 
+    # per-geom/site frames composed directly from the per-body python values
+    # (no gather: geom_bodyid is static, the lists hold the traced tensors)
+    geom_xpos = [xpos[m.geom_bodyid[g]] for g in range(m.ngeom)]
+    geom_xquat = [xquat[m.geom_bodyid[g]] for g in range(m.ngeom)]
+    site_xpos = [xpos[m.site_bodyid[t]] for t in range(m.nsite)]
+    site_xquat = [xquat[m.site_bodyid[t]] for t in range(m.nsite)]
+
     xpos = jnp.stack(xpos)
     xquat = jnp.stack(xquat)
     xmat = quat_to_mat(xquat)
@@ -111,14 +135,29 @@ def kinematics(m: PhysicsModel, s: PhysicsState) -> Kinematics:
     xipos = xpos + quat_rotate(xquat, m.body_ipos)
     ximat = quat_to_mat(iquat)
 
-    gb = jnp.asarray(m.geom_bodyid, dtype=jnp.int32)
-    geom_xpos = xpos[gb] + jnp.einsum("gij,gj->gi", xmat[gb], m.geom_pos)
-    geom_xmat = xmat[gb] @ quat_to_mat(m.geom_quat)
-    sb = jnp.asarray(m.site_bodyid, dtype=jnp.int32)
-    site_xpos = xpos[sb] + jnp.einsum("gij,gj->gi", xmat[sb], m.site_pos)
-    site_xmat = xmat[sb] @ quat_to_mat(m.site_quat)
+    if m.ngeom:
+        gp = jnp.stack(geom_xpos)
+        gq = jnp.stack(geom_xquat)
+        gm = quat_to_mat(gq)
+        geom_xpos_a = gp + jnp.einsum("gij,gj->gi", gm, m.geom_pos)
+        geom_xmat_a = gm @ quat_to_mat(m.geom_quat)
+    else:  # pragma: no cover
+        geom_xpos_a = jnp.zeros((0, 3), dtype)
+        geom_xmat_a = jnp.zeros((0, 3, 3), dtype)
+    if m.nsite:
+        sp = jnp.stack(site_xpos)
+        sq = jnp.stack(site_xquat)
+        sm = quat_to_mat(sq)
+        site_xpos_a = sp + jnp.einsum("gij,gj->gi", sm, m.site_pos)
+        site_xmat_a = sm @ quat_to_mat(m.site_quat)
+    else:
+        site_xpos_a = jnp.zeros((0, 3), dtype)
+        site_xmat_a = jnp.zeros((0, 3, 3), dtype)
 
-    return Kinematics(xpos, xquat, xmat, xipos, ximat, xanchor, xaxis, geom_xpos, geom_xmat, site_xpos, site_xmat)
+    return Kinematics(
+        xpos, xquat, xmat, xipos, ximat, xanchor, xaxis,
+        geom_xpos_a, geom_xmat_a, site_xpos_a, site_xmat_a,
+    )
 
 
 def _static_joint_groups(m: PhysicsModel):
@@ -134,52 +173,48 @@ def com_quantities(m: PhysicsModel, kin: Kinematics) -> ComQuants:
 
     All spatial quantities are expressed with world orientation about the
     subtree CoM of each kinematic tree's root body. Tree accumulations are
-    mask matmuls and dof axes are built per joint-type group — the graph has
-    O(joint types) ops, not O(nbody), which is what keeps contact-rich models
-    fast on TPU (SURVEY §7 performance stance).
+    mask matmuls; the (nv, 6) dof-axis matrix is built as one stack over the
+    static dof layout — per-row scatter writes cost ~36 us each on v5e.
     """
     dtype = kin.xpos.dtype
     mass = m.body_mass
     mpos = mass[:, None] * kin.xipos
     sub_mass = m.subtree_mask @ mass
     subtree_com = (m.subtree_mask @ mpos) / jnp.maximum(sub_mass, 1e-12)[:, None]
-    root_com = subtree_com[jnp.asarray(m.body_rootid)]  # (nbody, 3)
+    # root CoM per body: constant one-hot (nbody, nbody) selection matmul
+    root_sel = _onehot(m.nbody, m.nbody, m.body_rootid, dtype)
+    root_com = root_sel @ subtree_com  # (nbody, 3)
 
     inertia_world = kin.ximat @ (m.body_inertia[:, :, None] * kin.ximat.swapaxes(-1, -2))
     cinert = spatial_inertia(mass, inertia_world, kin.xipos - root_com)  # (nbody, 6, 6)
 
-    cdof = jnp.zeros((m.nv, 6), dtype)
-    hinge, slide, ball, free = _static_joint_groups(m)
-    if hinge:
-        jids = jnp.asarray(hinge)
-        dadr = jnp.asarray([m.jnt_dofadr[j] for j in hinge])
-        bods = jnp.asarray([m.jnt_bodyid[j] for j in hinge])
-        ax = kin.xaxis[jids]
-        off = kin.xanchor[jids] - root_com[bods]
-        cdof = cdof.at[dadr].set(jnp.concatenate([ax, jnp.cross(ax, -off)], axis=-1))
-    if slide:
-        jids = jnp.asarray(slide)
-        dadr = jnp.asarray([m.jnt_dofadr[j] for j in slide])
-        ax = kin.xaxis[jids]
-        cdof = cdof.at[dadr].set(jnp.concatenate([jnp.zeros_like(ax), ax], axis=-1))
-    for j in ball:
+    # cdof rows in static dof order, one stack at the end (scatter-free)
+    rows: list = [None] * m.nv
+    eye = jnp.eye(3, dtype=dtype)
+    zeros3 = jnp.zeros(3, dtype)
+    for j in range(m.njnt):
+        jt = m.jnt_type[j]
         b = m.jnt_bodyid[j]
         d = m.jnt_dofadr[j]
-        offset = kin.xanchor[j] - root_com[b]
-        rot = quat_to_mat(kin.xquat[b])
-        for i in range(3):
-            axv = rot[:, i]
-            cdof = cdof.at[d + i].set(jnp.concatenate([axv, jnp.cross(axv, -offset)]))
-    for j in free:
-        b = m.jnt_bodyid[j]
-        d = m.jnt_dofadr[j]
-        offset = kin.xanchor[j] - root_com[b]
-        eye = jnp.eye(3, dtype=dtype)
-        cdof = cdof.at[d : d + 3, 3:].set(eye)
-        rot = quat_to_mat(kin.xquat[b])
-        for i in range(3):
-            axv = rot[:, i]
-            cdof = cdof.at[d + 3 + i].set(jnp.concatenate([axv, jnp.cross(axv, -offset)]))
+        off = kin.xanchor[j] - root_com[b]
+        if jt == HINGE:
+            ax = kin.xaxis[j]
+            rows[d] = jnp.concatenate([ax, jnp.cross(ax, -off)])
+        elif jt == SLIDE:
+            rows[d] = jnp.concatenate([zeros3, kin.xaxis[j]])
+        elif jt == BALL:
+            rot = quat_to_mat(kin.xquat[b])
+            for i in range(3):
+                axv = rot[:, i]
+                rows[d + i] = jnp.concatenate([axv, jnp.cross(axv, -off)])
+        elif jt == FREE:
+            for i in range(3):
+                rows[d + i] = jnp.concatenate([zeros3, eye[i]])
+            rot = quat_to_mat(kin.xquat[b])
+            for i in range(3):
+                axv = rot[:, i]
+                rows[d + 3 + i] = jnp.concatenate([axv, jnp.cross(axv, -off)])
+    cdof = jnp.stack(rows) if rows else jnp.zeros((0, 6), dtype)
     return ComQuants(subtree_com, cinert, cdof)
 
 
@@ -194,16 +229,21 @@ def velocity(m: PhysicsModel, com: ComQuants, qvel: jnp.ndarray) -> Velocity:
     return Velocity(cvel, cdof_dot)
 
 
+def _dof_body_sel(m: PhysicsModel, dtype) -> jnp.ndarray:
+    """Constant (nv, nbody) one-hot: row i selects body(dof i)."""
+    return _onehot(m.nv, m.nbody, m.dof_bodyid, dtype)
+
+
 def crb_mass_matrix(m: PhysicsModel, com: ComQuants) -> jnp.ndarray:
     """Dense joint-space mass matrix via composite-rigid-body (mj_crb semantics).
 
     M[i, j] = cdof_i . (CRB[body(i)] cdof_j) on the dof-ancestor sparsity
-    pattern, assembled as one masked dense matmul (MXU-friendly when batched).
-    """
-    crb = (m.subtree_mask @ com.cinert.reshape(m.nbody, 36)).reshape(m.nbody, 6, 6)
-
-    dof_body = jnp.asarray(m.dof_bodyid)
-    f = jnp.einsum("vab,vb->va", crb[dof_body], com.cdof)  # (nv, 6)
+    pattern, assembled as masked dense matmuls (no gathers: the per-dof CRB
+    selection is a constant one-hot matmul)."""
+    dtype = com.cdof.dtype
+    crb = m.subtree_mask @ com.cinert.reshape(m.nbody, 36)  # (nbody, 36)
+    dof_crb = (_dof_body_sel(m, dtype) @ crb).reshape(m.nv, 6, 6)  # (nv, 6, 6)
+    f = jnp.einsum("vab,vb->va", dof_crb, com.cdof)  # (nv, 6)
     dense = f @ com.cdof.T  # (nv, nv)
     mask = m.dof_ancestor_mask  # lower-triangular-ish ancestry mask
     lower = dense * mask
@@ -222,43 +262,46 @@ def rne_bias(m: PhysicsModel, com: ComQuants, vel: Velocity, qvel: jnp.ndarray) 
     # body-local forces, batched
     iv = jnp.einsum("bij,bj->bi", com.cinert, vel.cvel)
     cfrc = jnp.einsum("bij,bj->bi", com.cinert, cacc) + motion_cross_force(vel.cvel, iv)
-    # backward: subtree sums, then project per dof
+    # backward: subtree sums, then project per dof (one-hot body selection)
     cfrc_sub = m.subtree_mask @ cfrc  # (nbody, 6)
-    dof_body = jnp.asarray(m.dof_bodyid)
-    return jnp.einsum("vk,vk->v", com.cdof, cfrc_sub[dof_body])
+    dof_cfrc = _dof_body_sel(m, dtype) @ cfrc_sub  # (nv, 6)
+    return jnp.einsum("vk,vk->v", com.cdof, dof_cfrc)
 
 
 def passive_force(m: PhysicsModel, s: PhysicsState) -> jnp.ndarray:
-    """Joint springs and dof dampers (mj_passive semantics, no tendons/fluids)."""
+    """Joint springs and dof dampers (mj_passive semantics, no tendons/fluids).
+
+    Spring forces are assembled per-dof in static layout (concatenate), not
+    scattered."""
     dtype = s.qvel.dtype
     qfrc = -m.dof_damping * s.qvel
-    hinge, slide, ball, free = _static_joint_groups(m)
-    scalar = sorted(hinge + slide)
-    if scalar:
-        jids = jnp.asarray(scalar)
-        qadrs = jnp.asarray([m.jnt_qposadr[j] for j in scalar])
-        dadrs = jnp.asarray([m.jnt_dofadr[j] for j in scalar])
-        qfrc = qfrc.at[dadrs].add(
-            -m.jnt_stiffness[jids] * (s.qpos[qadrs] - m.qpos_spring[qadrs])
-        )
-    for j in ball + free:
+    segs: list = []
+    cursor = 0
+    any_spring = False
+    for j in range(m.njnt):
         jt = m.jnt_type[j]
         qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+        assert dadr == cursor, "dof layout must be joint-contiguous"
         stiff = m.jnt_stiffness[j]
-        if jt == BALL:
-            # torque = -k * log(q_spring^-1 q), small-angle form via vector part
+        if jt in (SLIDE, HINGE):
+            segs.append((-stiff * (s.qpos[qadr : qadr + 1] - m.qpos_spring[qadr : qadr + 1])))
+            cursor += 1
+        elif jt == BALL:
             q = s.qpos[qadr : qadr + 4]
             qs = m.qpos_spring[qadr : qadr + 4]
             dq = quat_mul(qs * jnp.array([1, -1, -1, -1], dtype), q)
-            qfrc = qfrc.at[dadr : dadr + 3].add(-stiff * 2.0 * dq[1:])
+            segs.append(-stiff * 2.0 * dq[1:])
+            cursor += 3
         else:  # FREE
-            qfrc = qfrc.at[dadr : dadr + 3].add(
-                -stiff * (s.qpos[qadr : qadr + 3] - m.qpos_spring[qadr : qadr + 3])
-            )
+            segs.append(-stiff * (s.qpos[qadr : qadr + 3] - m.qpos_spring[qadr : qadr + 3]))
             q = s.qpos[qadr + 3 : qadr + 7]
             qs = m.qpos_spring[qadr + 3 : qadr + 7]
             dq = quat_mul(qs * jnp.array([1, -1, -1, -1], dtype), q)
-            qfrc = qfrc.at[dadr + 3 : dadr + 6].add(-stiff * 2.0 * dq[1:])
+            segs.append(-stiff * 2.0 * dq[1:])
+            cursor += 6
+        any_spring = True
+    if any_spring and cursor == m.nv:
+        qfrc = qfrc + jnp.concatenate(segs)
     return qfrc
 
 
@@ -268,7 +311,9 @@ def actuation(m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray) -> jnp.ndarra
     Covers MuJoCo <motor>, <position>, <velocity> (fixed gain + affine bias) on
     scalar joints, which is everything the reference task suite uses
     (position actuators throughout — e.g. judo/models/xml/cartpole.xml).
-    """
+
+    The qpos/qvel reads and the per-dof force write are constant one-hot
+    matmuls (gather/scatter-free)."""
     dtype = s.qvel.dtype
     ctrl = jnp.where(
         m.actuator_ctrllimited,
@@ -277,11 +322,13 @@ def actuation(m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray) -> jnp.ndarra
     )
     if m.nu == 0:
         return jnp.zeros(m.nv, dtype)
-    qadrs = jnp.asarray([m.jnt_qposadr[j] for j in m.actuator_trnid])
-    dadrs = jnp.asarray([m.jnt_dofadr[j] for j in m.actuator_trnid])
+    qadrs = [m.jnt_qposadr[j] for j in m.actuator_trnid]
+    dadrs = [m.jnt_dofadr[j] for j in m.actuator_trnid]
+    sel_q = _onehot(m.nu, m.nq, qadrs, dtype)  # (nu, nq)
+    sel_v = _onehot(m.nu, m.nv, dadrs, dtype)  # (nu, nv)
     gear = m.actuator_gear[:, 0]
-    length = s.qpos[qadrs] * gear
-    vel = s.qvel[dadrs] * gear
+    length = (sel_q @ s.qpos) * gear
+    vel = (sel_v @ s.qvel) * gear
     force = (
         m.actuator_gainprm[:, 0] * ctrl
         + m.actuator_biasprm[:, 0]
@@ -293,4 +340,4 @@ def actuation(m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray) -> jnp.ndarra
         jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1]),
         force,
     )
-    return jnp.zeros(m.nv, dtype).at[dadrs].add(gear * force)
+    return sel_v.T @ (gear * force)

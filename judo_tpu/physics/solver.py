@@ -99,23 +99,27 @@ def assemble_constraints(
     blocks_J, blocks_aref, blocks_reg, blocks_active = [], [], [], []
 
     # --- joint equality couplings (mjEQ_JOINT), as +/- one-sided row pairs ---
+    # rows are built from constant one-hot basis vectors scaled by computed
+    # scalars — never with .at[] scatter writes (36 us each on v5e)
     for e in range(m.neq):
         if m.eq_type[e] != EQ_JOINT:
             continue  # connect/weld equalities: not yet supported
         j1, j2 = m.eq_obj1id[e], m.eq_obj2id[e]
         q1adr, d1 = m.jnt_qposadr[j1], m.jnt_dofadr[j1]
         coef = m.eq_data[e]
+        e1 = jnp.asarray(np.eye(m.nv)[d1], dtype)
         if j2 >= 0:
             q2adr, d2 = m.jnt_qposadr[j2], m.jnt_dofadr[j2]
             dq2 = qpos[q2adr] - m.qpos0[q2adr]
             poly = coef[0] + dq2 * (coef[1] + dq2 * (coef[2] + dq2 * (coef[3] + dq2 * coef[4])))
             dpoly = coef[1] + dq2 * (2 * coef[2] + dq2 * (3 * coef[3] + dq2 * 4 * coef[4]))
             pos = (qpos[q1adr] - m.qpos0[q1adr]) - poly
-            row = jnp.zeros(m.nv, dtype).at[d1].set(1.0).at[d2].add(-dpoly)
+            e2 = jnp.asarray(np.eye(m.nv)[d2], dtype)
+            row = e1 - dpoly * e2
             inv_w = m.dof_invweight0[d1] + m.dof_invweight0[d2]
         else:
             pos = (qpos[q1adr] - m.qpos0[q1adr]) - coef[0]
-            row = jnp.zeros(m.nv, dtype).at[d1].set(1.0)
+            row = e1
             inv_w = m.dof_invweight0[d1]
         imp = impedance(m.eq_solimp[e], pos)
         k, b = kb_from_solref(m.eq_solref[e], m.eq_solimp[e], m.timestep)
@@ -130,24 +134,30 @@ def assemble_constraints(
     # --- joint limits (vectorized over the static limited-joint list) ---
     jids, dofs, sides = _limit_meta(m)
     if len(jids):
+        nl = len(jids)
         jids_a = jnp.asarray(jids)
-        dofs_a = jnp.asarray(dofs)
         sides_a = jnp.asarray(sides, dtype)
-        qadr = jnp.asarray([m.jnt_qposadr[j] for j in jids])
         lo = m.jnt_range[jids_a, 0]
         hi = m.jnt_range[jids_a, 1]
         margin = m.jnt_margin[jids_a]
-        q = qpos[qadr]
+        # qpos/qvel reads as constant one-hot matmuls; J is fully constant
+        sel_q = np.zeros((nl, m.nq))
+        sel_v = np.zeros((nl, m.nv))
+        for r in range(nl):
+            sel_q[r, m.jnt_qposadr[jids[r]]] = 1.0
+            sel_v[r, dofs[r]] = sides[r]
+        q = jnp.asarray(sel_q, dtype) @ qpos
         dist = jnp.where(sides_a > 0, q - lo, hi - q)
         pos = dist - margin
         imp = impedance(m.jnt_solimp[jids_a], pos)
         k, b = kb_from_solref(m.jnt_solref[jids_a], m.jnt_solimp[jids_a], m.timestep)
-        vel = sides_a * qvel[dofs_a]
-        nl = len(jids)
-        J = jnp.zeros((nl, m.nv), dtype).at[jnp.arange(nl), dofs_a].set(sides_a)
+        J = jnp.asarray(sel_v, dtype)  # (nl, nv) constant
+        vel = J @ qvel
         blocks_J.append(J)
         blocks_aref.append(-b * vel - k * imp * pos)
-        blocks_reg.append((1.0 - imp) / jnp.maximum(imp, _MINIMP) * m.dof_invweight0[dofs_a])
+        blocks_reg.append(
+            (1.0 - imp) / jnp.maximum(imp, _MINIMP) * (jnp.abs(J) @ m.dof_invweight0)
+        )
         blocks_active.append((dist < margin).astype(dtype))
 
     # --- contacts: pyramidal facets, vectorized over all slots ---
@@ -158,13 +168,21 @@ def assemble_constraints(
         root1 = np.asarray([m.body_rootid[b] for b in b1], np.int32)
         root2 = np.asarray([m.body_rootid[b] for b in b2], np.int32)
 
-        arm1 = contacts.pos - com.subtree_com[jnp.asarray(root1)]  # (C, 3)
-        arm2 = contacts.pos - com.subtree_com[jnp.asarray(root2)]
+        # root-CoM reads on the computed subtree_com: one-hot const matmuls
+        # (index-array gathers cost ~36 us/op on v5e inside the scan)
+        def _sel(rows: np.ndarray) -> jnp.ndarray:
+            s = np.zeros((len(rows), m.nbody))
+            s[np.arange(len(rows)), rows] = 1.0
+            return jnp.asarray(s, dtype)
+
+        arm1 = contacts.pos - _sel(root1) @ com.subtree_com  # (C, 3)
+        arm2 = contacts.pos - _sel(root2) @ com.subtree_com
         cdof_ang = com.cdof[:, :3]  # (nv, 3)
         cdof_lin = com.cdof[:, 3:]
         # point jacobian per contact: (C, nv, 3)
         lin1 = cdof_lin[None] + jnp.cross(cdof_ang[None], arm1[:, None, :])
         lin2 = cdof_lin[None] + jnp.cross(cdof_ang[None], arm2[:, None, :])
+        # constant masks (body_dof_mask is a model constant, b1/b2 static)
         mask1 = m.body_dof_mask[jnp.asarray(b1)][:, :, None]  # (C, nv, 1)
         mask2 = m.body_dof_mask[jnp.asarray(b2)][:, :, None]
         jac = mask2 * lin2 - mask1 * lin1  # (C, nv, 3)

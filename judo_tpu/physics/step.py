@@ -49,14 +49,16 @@ def forward(
 
     from judo_tpu.physics import linalg
 
-    mm_factor = linalg.cholesky(mm)
-
     from judo_tpu.physics import collision, solver
+
+    # One explicit scatter-free Gauss-Jordan inverse serves both the smooth
+    # acceleration and the contact solver's Delassus operator (see linalg.py
+    # for why substitutions/scatters are the wrong TPU formulation).
+    minv = linalg.spd_inverse(mm)
+    qacc_smooth = minv @ qfrc_smooth
 
     has_contacts = m.contact_enabled and collision.num_contact_slots(m) > 0
     if solver.num_constraint_rows(m) > 0:
-        minv = linalg.cho_inverse(mm_factor)
-        qacc_smooth = minv @ qfrc_smooth
         contacts = (
             collision.find_contacts(m, kin) if has_contacts else collision.empty_contacts(s.qpos.dtype)
         )
@@ -64,7 +66,7 @@ def forward(
             m, com, kin, contacts, mm, minv, s.qpos, s.qvel, qacc_smooth, f_warm
         )
     else:
-        qacc = linalg.cho_solve(mm_factor, qfrc_smooth)
+        qacc = qacc_smooth
         efc_force = jnp.zeros(0, s.qpos.dtype)
 
     sensordata = evaluate_sensors(m, kin, s.qpos, s.qvel)
@@ -72,26 +74,33 @@ def forward(
 
 
 def _integrate_pos(m: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray, h) -> jnp.ndarray:
-    """mj_integratePos semantics: joint-type-aware position update."""
-    out = qpos
-    scalar = [j for j in range(m.njnt) if m.jnt_type[j] in (SLIDE, HINGE)]
-    if scalar:
-        qadrs = jnp.asarray([m.jnt_qposadr[j] for j in scalar])
-        dadrs = jnp.asarray([m.jnt_dofadr[j] for j in scalar])
-        out = out.at[qadrs].add(h * qvel[dadrs])
+    """mj_integratePos semantics: joint-type-aware position update.
+
+    Scatter-free: qpos is contiguous per joint in a static layout, so the new
+    vector is assembled from per-joint static slices and one concatenate —
+    indexed ``.at[].set`` updates cost ~36 us each inside a scan on v5e.
+    """
+    segs: list[jnp.ndarray] = []
+    cursor = 0
     for j in range(m.njnt):
         jt = m.jnt_type[j]
         qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+        assert qadr == cursor, "qpos layout must be joint-contiguous"
         if jt in (SLIDE, HINGE):
-            pass
+            segs.append(qpos[qadr : qadr + 1] + h * qvel[dadr : dadr + 1])
+            cursor += 1
         elif jt == BALL:
-            q = quat_integrate(qpos[qadr : qadr + 4], qvel[dadr : dadr + 3], h)
-            out = out.at[qadr : qadr + 4].set(q)
+            segs.append(quat_integrate(qpos[qadr : qadr + 4], qvel[dadr : dadr + 3], h))
+            cursor += 4
         elif jt == FREE:
-            out = out.at[qadr : qadr + 3].add(h * qvel[dadr : dadr + 3])
-            q = quat_integrate(qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], h)
-            out = out.at[qadr + 3 : qadr + 7].set(q)
-    return out
+            segs.append(qpos[qadr : qadr + 3] + h * qvel[dadr : dadr + 3])
+            segs.append(quat_integrate(qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], h))
+            cursor += 7
+    if cursor < m.nq:  # trailing non-joint qpos (none in practice)
+        segs.append(qpos[cursor:])
+    if not segs:
+        return qpos
+    return jnp.concatenate(segs)
 
 
 def step_with_forward(

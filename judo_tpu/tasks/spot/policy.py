@@ -35,12 +35,17 @@ from judo_tpu.utils.onnx_loader import MLPPolicy, mlp_from_onnx
 
 
 class SpotPolicy(NamedTuple):
-    """The locomotion MLP + static joint-ordering metadata."""
+    """The locomotion MLP + static joint-ordering metadata.
+
+    The joint-order permutations are carried as constant permutation
+    MATRICES, not gather indices: a permutation applied as a matmul fuses
+    into the surrounding graph, while an index-array gather inside the
+    rollout scan costs ~36 us on v5e (scratch/micro_overhead.py)."""
 
     mlp: MLPPolicy
     default_joint_pos: jnp.ndarray  # (19,)
-    mujoco_to_orbit: jnp.ndarray  # (19,) gather indices
-    orbit_to_mujoco_legs: jnp.ndarray  # (12,) gather indices
+    mujoco_to_orbit: jnp.ndarray  # (19, 19) permutation matrix
+    orbit_to_mujoco_legs: jnp.ndarray  # (12, 12) permutation matrix
 
     @staticmethod
     def load(path: str | None = None, dtype=jnp.float32) -> "SpotPolicy":
@@ -54,8 +59,8 @@ class SpotPolicy(NamedTuple):
         return SpotPolicy(
             mlp=mlp_from_onnx(path, dtype),
             default_joint_pos=jnp.asarray(sc.DEFAULT_JOINT_POS, dtype),
-            mujoco_to_orbit=jnp.asarray(sc.MUJOCO_TO_ORBIT, jnp.int32),
-            orbit_to_mujoco_legs=jnp.asarray(sc.ORBIT_TO_MUJOCO_LEGS, jnp.int32),
+            mujoco_to_orbit=jnp.asarray(np.eye(19)[np.asarray(sc.MUJOCO_TO_ORBIT)], dtype),
+            orbit_to_mujoco_legs=jnp.asarray(np.eye(12)[np.asarray(sc.ORBIT_TO_MUJOCO_LEGS)], dtype),
         )
 
 
@@ -71,8 +76,8 @@ def build_observation(
     angvel = qvel[3:6]  # free-joint angular velocity is already body-frame
     gravity = quat_rotate(inv_quat, jnp.asarray([0.0, 0.0, -1.0], dtype))
 
-    joint_pos = (qpos[7:26] - policy.default_joint_pos)[policy.mujoco_to_orbit]
-    joint_vel = qvel[6:25][policy.mujoco_to_orbit]
+    joint_pos = policy.mujoco_to_orbit @ (qpos[7:26] - policy.default_joint_pos)
+    joint_vel = policy.mujoco_to_orbit @ qvel[6:25]
 
     return jnp.concatenate(
         [
@@ -94,19 +99,17 @@ def control_from_policy(
     policy: SpotPolicy, policy_output: jnp.ndarray, command: jnp.ndarray
 ) -> jnp.ndarray:
     """19-dim mujoco ctrl from policy output + command (system_class.cpp:215-246)."""
-    legs = (0.2 * policy_output)[policy.orbit_to_mujoco_legs] + policy.default_joint_pos[:12]
-    # first-nonzero leg override (C++ else-if chain)
+    legs = policy.orbit_to_mujoco_legs @ (0.2 * policy_output) + policy.default_joint_pos[:12]
+    # first-nonzero leg override (C++ else-if chain), as a per-leg blend mask
+    # instead of dynamic_slice/update (dynamic indexing is slow inside scans)
     leg_cmd = command[10:22]
     norms = jnp.stack([jnp.linalg.norm(leg_cmd[3 * i : 3 * i + 3]) for i in range(4)])
     active = norms > 0
     first = jnp.argmax(active)  # first True (0 if none; gated below)
     any_active = jnp.any(active)
-    override_block = jax.lax.dynamic_slice(leg_cmd, (first * 3,), (3,))
-    legs = jnp.where(
-        any_active,
-        jax.lax.dynamic_update_slice(legs, override_block, (first * 3,)),
-        legs,
-    )
+    is_first = (jnp.arange(4) == first) & any_active  # (4,) one-hot, all-false if none
+    mask = jnp.repeat(is_first, 3).astype(legs.dtype)  # (12,)
+    legs = jnp.where(mask > 0, leg_cmd, legs)
     arm = command[3:10]
     return jnp.concatenate([legs, arm])
 

@@ -1,0 +1,126 @@
+"""Multi-device correctness tests on the 8-virtual-CPU mesh (conftest).
+
+SURVEY §4 lesson: the reference has no distributed tests; the TPU build adds
+CPU-simulated multi-device tests. These assert that the solve under a rollout
+mesh is numerically identical to the unsharded solve (same rng), that the
+candidate batch really is partitioned over the mesh (fails if the
+with_sharding_constraint in the solve is removed), and that optimizer updates
+reduce correctly over sharded reward batches.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec
+
+from judo_tpu.controller import Controller, ControllerConfig
+from judo_tpu.optimizers import (
+    MPPI,
+    CrossEntropyMethod,
+    CrossEntropyMethodConfig,
+    MPPIConfig,
+    PredictiveSampling,
+    PredictiveSamplingConfig,
+)
+from judo_tpu.parallel import ROLLOUT_AXIS, make_rollout_mesh, rollout_sharding
+from judo_tpu.tasks import get_registered_tasks
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs the multi-device CPU mesh from conftest"
+)
+
+
+def _make_controller(task_name: str, mesh, num_rollouts: int = 8, horizon: float = 0.1):
+    task_cls, _ = get_registered_tasks()[task_name]
+    task = task_cls()
+    opt = MPPI(MPPIConfig(num_rollouts=num_rollouts, num_nodes=4, sigma=0.2), task.nu)
+    cc = ControllerConfig(horizon=horizon, spline_order="zero")
+    return Controller(cc, task, opt, mesh=mesh)
+
+
+def _run_solve(task_name: str, mesh, seed: int = 1234, **kw):
+    np.random.seed(seed)  # Controller.reset derives its PRNG key from numpy
+    c = _make_controller(task_name, mesh, **kw)
+    c.update_action()
+    return c
+
+
+@pytest.mark.parametrize("task_name", ["cylinder_push", "leap_cube"])
+def test_sharded_solve_matches_unsharded(task_name):
+    """Contact-rich solve: mesh-sharded == single-device to tolerance."""
+    mesh = make_rollout_mesh(8)
+    ref = _run_solve(task_name, None)
+    sh = _run_solve(task_name, mesh)
+    np.testing.assert_allclose(np.sort(sh.rewards), np.sort(ref.rewards), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(sh.rewards, ref.rewards, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(sh.nominal_knots, ref.nominal_knots, rtol=1e-6, atol=1e-8)
+
+
+def test_sharded_solve_spot_policy_path():
+    """Locomotion-policy rollout path with carried per-rollout policy output."""
+    mesh = make_rollout_mesh(8)
+    ref = _run_solve("spot_navigate", None, num_rollouts=8, horizon=0.2)
+    sh = _run_solve("spot_navigate", mesh, num_rollouts=8, horizon=0.2)
+    np.testing.assert_allclose(sh.rewards, ref.rewards, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(sh.nominal_knots, ref.nominal_knots, rtol=1e-6, atol=1e-8)
+    # carried policy output stays per-rollout shaped
+    assert np.asarray(sh._carry.last_policy_output).shape == (8, 12)
+    np.testing.assert_allclose(
+        sh._carry.last_policy_output, ref._carry.last_policy_output, rtol=1e-6, atol=1e-8
+    )
+
+
+def test_solve_outputs_actually_sharded():
+    """The candidate batch is partitioned over the mesh — this is the test
+    that fails if the with_sharding_constraint in Controller._build_solve is
+    removed (outputs then come back fully replicated)."""
+    mesh = make_rollout_mesh(8)
+    c = _run_solve("cylinder_push", mesh, num_rollouts=16)
+    states = c.last_outputs.states  # (R, T, nq+nv)
+    sharding = states.sharding
+    assert isinstance(sharding, NamedSharding)
+    assert sharding.spec[0] == ROLLOUT_AXIS, f"rollout axis not sharded: {sharding.spec}"
+    # 16 rollouts over 8 devices: each shard holds 2
+    shard_shapes = {s.data.shape[0] for s in states.addressable_shards}
+    assert shard_shapes == {2}
+
+
+@pytest.mark.parametrize(
+    "opt_cls,cfg_cls",
+    [
+        (PredictiveSampling, PredictiveSamplingConfig),
+        (MPPI, MPPIConfig),
+        (CrossEntropyMethod, CrossEntropyMethodConfig),
+    ],
+)
+def test_optimizer_update_with_sharded_rewards(opt_cls, cfg_cls):
+    """update() reduces over a mesh-sharded reward/candidate batch exactly
+    (argmax / softmax-average / top-k elites ride GSPMD collectives)."""
+    mesh = make_rollout_mesh(8)
+    nu, n, r = 3, 4, 16
+    cfg = cfg_cls(num_rollouts=r, num_nodes=n)
+    opt = opt_cls(cfg, nu)
+    rng = np.random.default_rng(0)
+    cands = jnp.asarray(rng.standard_normal((r, n, nu)))
+    rewards = jnp.asarray(rng.standard_normal(r))
+    state = opt.init_state(cands.dtype)
+    params = opt.params()
+
+    ref_nominal, ref_state = jax.jit(opt.update)(params, state, cands, rewards)
+
+    sh = rollout_sharding(mesh)
+    cands_s = jax.device_put(cands, sh)
+    rewards_s = jax.device_put(rewards, sh)
+    out_nominal, out_state = jax.jit(opt.update)(params, state, cands_s, rewards_s)
+
+    np.testing.assert_allclose(out_nominal, ref_nominal, rtol=1e-12, atol=0)
+    for a, b in zip(jax.tree.leaves(out_state), jax.tree.leaves(ref_state)):
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=0)
+
+
+def test_replicated_spec_helper():
+    mesh = make_rollout_mesh(4)
+    from judo_tpu.parallel import replicated
+
+    assert replicated(mesh).spec == PartitionSpec()
