@@ -122,17 +122,24 @@ def spot_policy_step(
     last_policy_output: jnp.ndarray,
     physics_substeps: int = 2,
     f_warm: jnp.ndarray | None = None,
+    minv_warm: jnp.ndarray | None = None,
+    mhinv_warm: jnp.ndarray | None = None,
 ):
-    """One 50 Hz policy tick: observation -> MLP -> ctrl -> substeps physics."""
+    """One 50 Hz policy tick: observation -> MLP -> ctrl -> substeps physics.
+
+    ``minv_warm``/``mhinv_warm`` optionally carry the previous tick's mass
+    matrix inverses for Newton-Schulz temporal warm-starting (step.py).
+    """
     obs = build_observation(policy, s.qpos, s.qvel, command, last_policy_output)
     policy_output = policy.mlp(obs)
     ctrl = control_from_policy(policy, policy_output, command)
     res = None
     for _ in range(physics_substeps):
-        s, res = step_with_forward(m, s, ctrl, f_warm)
+        s, res, mhinv_warm = step_with_forward(m, s, ctrl, f_warm, minv_warm, mhinv_warm)
+        minv_warm = res.minv
         if f_warm is None or res.efc_force.shape == f_warm.shape:
             f_warm = res.efc_force
-    return s, policy_output, res
+    return s, policy_output, res, minv_warm, mhinv_warm
 
 
 class PolicyRolloutOutput(NamedTuple):
@@ -152,15 +159,26 @@ def policy_rollout(
     """The TPU equivalent of System::rollout / threadedRollout: scan over
     commands with the policy in the loop; vmap for the candidate batch."""
 
+    from judo_tpu.physics import linalg, smooth
     from judo_tpu.physics.solver import num_constraint_rows
+    from judo_tpu.physics.step import implicit_damping
 
     def body(carry, cmd):
-        s, pout, f = carry
-        s, pout, res = spot_policy_step(m, policy, s, cmd, pout, physics_substeps, f)
-        return (s, pout, res.efc_force), (jnp.concatenate([s.qpos, s.qvel]), res.sensordata)
+        s, pout, f, minv, mhinv = carry
+        s, pout, res, minv, mhinv = spot_policy_step(
+            m, policy, s, cmd, pout, physics_substeps, f, minv, mhinv
+        )
+        return (s, pout, res.efc_force, minv, mhinv), (
+            jnp.concatenate([s.qpos, s.qvel]),
+            res.sensordata,
+        )
 
     f0 = jnp.zeros(num_constraint_rows(m), s0.qpos.dtype)
-    (s_final, pout_final, _), (states, sensors) = jax.lax.scan(
-        body, (s0, last_policy_output, f0), commands
+    # exact inverses at s0 seed the Newton-Schulz temporal warm-start chain
+    mm0 = smooth.crb_mass_matrix(m, smooth.com_quantities(m, smooth.kinematics(m, s0)))
+    minv0 = linalg.spd_inverse(mm0)
+    mhinv0 = linalg.spd_inverse(mm0 + m.timestep * jnp.diag(implicit_damping(m)))
+    (s_final, pout_final, _, _, _), (states, sensors) = jax.lax.scan(
+        body, (s0, last_policy_output, f0, minv0, mhinv0), commands
     )
     return PolicyRolloutOutput(states, sensors, pout_final)
