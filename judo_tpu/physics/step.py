@@ -40,12 +40,25 @@ def _ns_refresh(a: jnp.ndarray, x: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
     Gauss-Jordan elimination (nv dependent rank-1 columns, ~600 us/step at
     batch 320 on v5e) with 6 batched MXU matmuls — the TPU-native
     formulation of MuJoCo's per-MjData factorization reuse.
+
+    Divergence guard: NS diverges explosively (residual^(2^iters)) when the
+    seed's residual ||I - A X|| reaches 1 — possible after an impact-scale
+    state jump between steps. The initial residual is measured (reusing the
+    first iteration's A @ X product) and divergent lanes keep the *frozen*
+    previous inverse instead: bounded error for a few steps, never NaNs.
+    The periodic exact re-seed in rollout() (reseed_every) then restores the
+    chain exactly.
     """
     eye = jnp.eye(a.shape[-1], dtype=a.dtype)
-    for _ in range(iters):
-        x = x @ (2.0 * eye - a @ x)
+    t = a @ x
+    r0 = jnp.max(jnp.abs(eye - t), axis=(-2, -1), keepdims=True)
+    x0 = x
+    for i in range(iters):
+        if i > 0:
+            t = a @ x
+        x = x @ (2.0 * eye - t)
         x = 0.5 * (x + x.swapaxes(-1, -2))
-    return x
+    return jnp.where(r0 < 1.0, x, x0)
 
 
 def forward(
@@ -192,6 +205,23 @@ def step(m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray) -> PhysicsState:
     return step_with_forward(m, s, ctrl)[0]
 
 
+def seed_inverses(m: PhysicsModel, s: PhysicsState) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact (M^-1, (M + h diag(damp))^-1) at state ``s``.
+
+    Seeds (and periodically re-seeds) the Newton-Schulz temporal warm-start
+    chain carried through rollout scans — shared by rollout() and the Spot
+    policy_rollout() so the two paths cannot drift apart.
+    """
+    from judo_tpu.physics import linalg
+
+    kin = smooth.kinematics(m, s)
+    com = smooth.com_quantities(m, kin)
+    mm = smooth.crb_mass_matrix(m, com)
+    minv = linalg.spd_inverse(mm)
+    mhinv = linalg.spd_inverse(mm + m.timestep * jnp.diag(implicit_damping(m)))
+    return minv, mhinv
+
+
 class RolloutOutput(NamedTuple):
     states: jnp.ndarray  # (T, nq + nv)
     sensordata: jnp.ndarray  # (T, nsensordata)
@@ -212,6 +242,7 @@ def rollout(
     controls: jnp.ndarray,
     physics_substeps: int = 1,
     unroll: int | None = None,
+    reseed_every: int = 10,
 ) -> RolloutOutput:
     """Roll out a control sequence from one initial state.
 
@@ -224,10 +255,15 @@ def rollout(
     record the post-step (qpos, qvel) and the sensordata evaluated during the
     final step's forward pass (i.e. at that step's *pre-integration* state).
 
+    ``reseed_every``: the Newton-Schulz-carried mass-matrix inverses are
+    re-seeded *exactly* (full elimination) every this-many commands — a nested
+    scan(blocks) x scan(steps) structure, so the exact factorization's cost is
+    amortized over the block while NS drift/divergence stays bounded to one
+    block even after impact-scale state jumps (see _ns_refresh's guard).
+
     Batch over rollouts with ``jax.vmap(rollout, in_axes=(None, 0, 0))``.
     """
 
-    from judo_tpu.physics import linalg
     from judo_tpu.physics.solver import num_constraint_rows
 
     nefc = num_constraint_rows(m)
@@ -245,14 +281,24 @@ def rollout(
     if unroll is None:
         unroll = default_unroll(m)
     f0 = jnp.zeros(nefc, s0.qpos.dtype)
-    # Exact inverses at the initial state seed the temporal warm-start chain
-    # (one extra kinematics/CRB evaluation, amortized over the whole horizon).
-    kin0 = smooth.kinematics(m, s0)
-    com0 = smooth.com_quantities(m, kin0)
-    mm0 = smooth.crb_mass_matrix(m, com0)
-    minv0 = linalg.spd_inverse(mm0)
-    mhinv0 = linalg.spd_inverse(mm0 + m.timestep * jnp.diag(implicit_damping(m)))
-    (_, _, _, _), (states, sensors) = jax.lax.scan(
-        body, (s0, f0, minv0, mhinv0), controls, unroll=min(unroll, controls.shape[0])
-    )
+
+    T = controls.shape[0]
+    K = max(1, min(int(reseed_every), T))
+    n_blocks = -(-T // K)
+    Tp = n_blocks * K
+    if Tp != T:  # pad with the last control; outputs are sliced back to T
+        controls = jnp.concatenate([controls, jnp.repeat(controls[-1:], Tp - T, axis=0)], axis=0)
+    blocks = controls.reshape(n_blocks, K, controls.shape[-1])
+
+    def block(carry, ctrl_block: jnp.ndarray):
+        s, f = carry
+        minv, mhinv = seed_inverses(m, s)
+        (s, f, _, _), outs = jax.lax.scan(
+            body, (s, f, minv, mhinv), ctrl_block, unroll=min(unroll, K)
+        )
+        return (s, f), outs
+
+    (_, _), (states, sensors) = jax.lax.scan(block, (s0, f0), blocks)
+    states = states.reshape(Tp, *states.shape[2:])[:T]
+    sensors = sensors.reshape(Tp, *sensors.shape[2:])[:T]
     return RolloutOutput(states, sensors)

@@ -155,13 +155,18 @@ def policy_rollout(
     commands: jnp.ndarray,  # (T, 25)
     last_policy_output: jnp.ndarray,  # (12,)
     physics_substeps: int = 2,
+    reseed_every: int = 10,
 ) -> PolicyRolloutOutput:
     """The TPU equivalent of System::rollout / threadedRollout: scan over
-    commands with the policy in the loop; vmap for the candidate batch."""
+    commands with the policy in the loop; vmap for the candidate batch.
 
-    from judo_tpu.physics import linalg, smooth
+    Like physics.step.rollout, the Newton-Schulz inverse chain is re-seeded
+    exactly every ``reseed_every`` commands via the shared seed_inverses()
+    helper (nested block scan), bounding NS drift to one block.
+    """
+
     from judo_tpu.physics.solver import num_constraint_rows
-    from judo_tpu.physics.step import implicit_damping
+    from judo_tpu.physics.step import seed_inverses
 
     def body(carry, cmd):
         s, pout, f, minv, mhinv = carry
@@ -171,14 +176,31 @@ def policy_rollout(
         return (s, pout, res.efc_force, minv, mhinv), (
             jnp.concatenate([s.qpos, s.qvel]),
             res.sensordata,
+            pout,
         )
 
     f0 = jnp.zeros(num_constraint_rows(m), s0.qpos.dtype)
-    # exact inverses at s0 seed the Newton-Schulz temporal warm-start chain
-    mm0 = smooth.crb_mass_matrix(m, smooth.com_quantities(m, smooth.kinematics(m, s0)))
-    minv0 = linalg.spd_inverse(mm0)
-    mhinv0 = linalg.spd_inverse(mm0 + m.timestep * jnp.diag(implicit_damping(m)))
-    (s_final, pout_final, _, _, _), (states, sensors) = jax.lax.scan(
-        body, (s0, last_policy_output, f0, minv0, mhinv0), commands
+
+    T = commands.shape[0]
+    K = max(1, min(int(reseed_every), T))
+    n_blocks = -(-T // K)
+    Tp = n_blocks * K
+    if Tp != T:  # pad with the last command; outputs sliced back to T
+        commands = jnp.concatenate([commands, jnp.repeat(commands[-1:], Tp - T, axis=0)], axis=0)
+    cmd_blocks = commands.reshape(n_blocks, K, commands.shape[-1])
+
+    def block(carry, cmds):
+        s, pout, f = carry
+        minv, mhinv = seed_inverses(m, s)
+        (s, pout, f, _, _), outs = jax.lax.scan(body, (s, pout, f, minv, mhinv), cmds)
+        return (s, pout, f), outs
+
+    (_, _, _), (states, sensors, pouts) = jax.lax.scan(
+        block, (s0, last_policy_output, f0), cmd_blocks
     )
+    states = states.reshape(Tp, *states.shape[2:])[:T]
+    sensors = sensors.reshape(Tp, *sensors.shape[2:])[:T]
+    # the carried-forward policy output is the one computed at command T-1
+    # (recorded per step so control padding cannot leak into the carry)
+    pout_final = pouts.reshape(Tp, *pouts.shape[2:])[T - 1]
     return PolicyRolloutOutput(states, sensors, pout_final)

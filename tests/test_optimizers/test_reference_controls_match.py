@@ -97,6 +97,7 @@ def test_nominal_sequence_matches_reference(name, use_ramp):
 
         # the reference consumes exactly one np.random.randn per sample
         state_np = np.random.get_state()
+        orig_randn = np.random.randn
         try:
 
             def fake_randn(*shape):
@@ -106,7 +107,7 @@ def test_nominal_sequence_matches_reference(name, use_ramp):
             np.random.randn = fake_randn  # type: ignore[assignment]
             ref_samples = ref.sample_control_knots(nominal_ref)
         finally:
-            del np.random.randn
+            np.random.randn = orig_randn  # restore the real function, never delete it
             np.random.set_state(state_np)
 
         our_samples, state = ours.sample_from_noise(params, state, nominal_our, jnp.asarray(noise))
