@@ -1,0 +1,571 @@
+"""Static-shape collision narrowphase, batch-in-lanes layout.
+
+The lanes counterpart of collision.py / box_collision.py: identical contact
+semantics (same candidate pair list, same per-pair slot counts, same mixed
+contact parameters), with every geometric quantity shaped (…, B) so the whole
+narrowphase compiles into straight-line VPU code inside the Pallas step kernel
+(see lane_engine.py's module docstring for the layout rationale).
+
+Dynamic selections (SAT best axis, deepest-k points) are expressed as
+first-true / rank one-hot algebra over comparison masks — no argsort, no
+gathers, no data-dependent shapes — exactly as box_collision.py does, but
+with the one-hot reductions running across lanes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from judo_tpu.physics.lane_engine import LaneKin, l_cross, l_dot3, l_mat_t_vec, l_mat_vec, usum
+from judo_tpu.physics.model import (
+    GEOM_BOX,
+    GEOM_CAPSULE,
+    GEOM_CYLINDER,
+    GEOM_PLANE,
+    GEOM_SPHERE,
+    PhysicsModel,
+)
+
+_BIG = 1e10
+
+
+class LaneContact(NamedTuple):
+    """One contact slot, batch-last; static metadata as plain Python."""
+
+    dist: jnp.ndarray  # (B,)
+    pos: jnp.ndarray  # (3, B)
+    normal: jnp.ndarray  # (3, B)
+    body1: int
+    body2: int
+    # static mixed parameters (mj_contactParam), host scalars
+    friction: float
+    solref: np.ndarray  # (2,)
+    solimp: np.ndarray  # (5,)
+    includemargin: float
+
+
+def _col(m3: jnp.ndarray, i: int) -> jnp.ndarray:
+    """Column i of a (3, 3, B) matrix -> (3, B)."""
+    return m3[:, i, :]
+
+
+def _safe_unit(v: jnp.ndarray, fallback: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    n = jnp.sqrt(jnp.maximum(l_dot3(v, v), 1e-24))
+    unit = v / n[None]
+    return jnp.where((n > eps)[None], unit, fallback)
+
+
+def first_true_onehot(masks: list) -> list:
+    """One-hot over a static list of (B,) bool masks: first True wins."""
+    taken = jnp.zeros_like(masks[0], dtype=bool)
+    out = []
+    for mk in masks:
+        sel = mk & (~taken)
+        out.append(sel)
+        taken = taken | mk
+    return out
+
+
+def _closest_seg_point(a: jnp.ndarray, b: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    ab = b - a
+    t = jnp.clip(l_dot3(p - a, ab) / jnp.maximum(l_dot3(ab, ab), 1e-12), 0.0, 1.0)
+    return a + t[None] * ab
+
+
+def _segment_segment(p1, q1, p2, q2):
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = l_dot3(d1, d1)
+    e = l_dot3(d2, d2)
+    f = l_dot3(d2, r)
+    c = l_dot3(d1, r)
+    b = l_dot3(d1, d2)
+    denom = a * e - b * b
+    s = jnp.where(denom > 1e-12, jnp.clip((b * f - c * e) / jnp.maximum(denom, 1e-12), 0.0, 1.0), 0.0)
+    t = (b * s + f) / jnp.maximum(e, 1e-12)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.clip((b * t_cl - c) / jnp.maximum(a, 1e-12), 0.0, 1.0)
+    return p1 + s[None] * d1, p2 + t_cl[None] * d2
+
+
+def _e3(v: np.ndarray, dtype, B: int) -> jnp.ndarray:
+    from judo_tpu.physics.lane_engine import const_col
+
+    return jnp.broadcast_to(const_col(v, dtype), (3, B))
+
+
+# --- per-pair lane kernels: return lists of (dist (B,), pos (3,B), n (3,B)) ---
+
+
+def _k_plane_sphere(x1, m1, s1, x2, m2, s2):
+    n = _col(m1, 2)
+    d = l_dot3(x2 - x1, n) - s2[0]
+    pos = x2 - n * (s2[0] + 0.5 * d)[None]
+    return [(d, pos, n)]
+
+def _k_plane_capsule(x1, m1, s1, x2, m2, s2):
+    n = _col(m1, 2)
+    axis = _col(m2, 2)
+    out = []
+    for sgn in (-1.0, 1.0):
+        c = x2 + sgn * s2[1] * axis
+        d = l_dot3(c - x1, n) - s2[0]
+        out.append((d, c - n * (s2[0] + 0.5 * d)[None], n))
+    return out
+
+def _k_plane_cylinder(x1, m1, s1, x2, m2, s2):
+    n = _col(m1, 2)
+    axis = _col(m2, 2)
+    proj = axis * l_dot3(axis, n)[None] - n
+    rim = _safe_unit(proj, _col(m2, 0), eps=1e-8)
+    out = []
+    for sgn in (-1.0, 1.0):
+        c = x2 + sgn * s2[1] * axis + s2[0] * rim
+        d = l_dot3(c - x1, n)
+        out.append((d, c - 0.5 * d[None] * n, n))
+    return out
+
+def _k_plane_box(x1, m1, s1, x2, m2, s2):
+    dtype = x1.dtype
+    B = x1.shape[-1]
+    n = _col(m1, 2)
+    corners, cd = [], []
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            for sz in (-1, 1):
+                c = x2 + sx * s2[0] * _col(m2, 0) + sy * s2[1] * _col(m2, 1) + sz * s2[2] * _col(m2, 2)
+                corners.append(c)
+                cd.append(l_dot3(c - x1, n))
+    sel = _rank_select_l(cd, 4)  # 4 x 8 one-hot rows of (B,)
+    out = []
+    for s in range(4):
+        d = sum(sel[s][j] * cd[j] for j in range(8))
+        p = sum(sel[s][j][None] * corners[j] for j in range(8))
+        out.append((d, p - 0.5 * d[None] * n, n))
+    return out
+
+def _k_sphere_sphere(x1, m1, s1, x2, m2, s2):
+    dtype = x1.dtype
+    B = x1.shape[-1]
+    delta = x2 - x1
+    dn = jnp.sqrt(jnp.maximum(l_dot3(delta, delta), 1e-24))
+    n = _safe_unit(delta, _e3([0, 0, 1], dtype, B))
+    d = dn - s1[0] - s2[0]
+    return [(d, x1 + n * (s1[0] + 0.5 * d)[None], n)]
+
+def _k_sphere_capsule(x1, m1, s1, x2, m2, s2):
+    dtype = x1.dtype
+    B = x1.shape[-1]
+    axis = _col(m2, 2)
+    c = _closest_seg_point(x2 - s2[1] * axis, x2 + s2[1] * axis, x1)
+    delta = c - x1
+    dn = jnp.sqrt(jnp.maximum(l_dot3(delta, delta), 1e-24))
+    n = _safe_unit(delta, _e3([0, 0, 1], dtype, B))
+    d = dn - s1[0] - s2[0]
+    return [(d, x1 + n * (s1[0] + 0.5 * d)[None], n)]
+
+def _k_sphere_box(x1, m1, s1, x2, m2, s2):
+    from judo_tpu.physics.lane_engine import const_col
+
+    dtype = x1.dtype
+    local = l_mat_t_vec(m2, x1 - x2)  # (3, B)
+    size = const_col(s2[:3], dtype)
+    clamped = jnp.clip(local, -size, size)
+    inside = jnp.all(jnp.abs(local) < size, axis=0)  # (B,)
+    delta_out = local - clamped
+    dn_out = jnp.sqrt(jnp.maximum(l_dot3(delta_out, delta_out), 1e-24))
+    n_out = delta_out / jnp.maximum(dn_out, 1e-12)[None]
+    gaps = size - jnp.abs(local)  # (3, B)
+    gmin = jnp.min(gaps, axis=0)
+    sel = first_true_onehot([gaps[i] == gmin for i in range(3)])
+    ohax = jnp.stack([s.astype(dtype) for s in sel])  # (3, B)
+    n_in = jnp.sign(usum(local * ohax, 0))[None] * ohax
+    dn_in = -gmin
+    n_local = jnp.where(inside[None], n_in, n_out)
+    dn_loc = jnp.where(inside, dn_in, dn_out)
+    n = l_mat_vec(m2, -n_local)
+    d = dn_loc - s1[0]
+    surf_local = jnp.where(inside[None], local - dn_in[None] * n_in, clamped)
+    surf = x2 + l_mat_vec(m2, surf_local)
+    return [(d, surf + 0.5 * d[None] * n, n)]
+
+def _k_capsule_capsule(x1, m1, s1, x2, m2, s2):
+    dtype = x1.dtype
+    B = x1.shape[-1]
+    a1, a2 = _col(m1, 2), _col(m2, 2)
+    p1c, p2c = _segment_segment(x1 - s1[1] * a1, x1 + s1[1] * a1, x2 - s2[1] * a2, x2 + s2[1] * a2)
+    delta = p2c - p1c
+    dn = jnp.sqrt(jnp.maximum(l_dot3(delta, delta), 1e-24))
+    n = _safe_unit(delta, _e3([0, 0, 1], dtype, B))
+    d = dn - s1[0] - s2[0]
+    return [(d, p1c + n * (s1[0] + 0.5 * d)[None], n)]
+
+def _k_cylinder_cylinder(x1, m1, s1, x2, m2, s2):
+    dtype = x1.dtype
+    a1 = _col(m1, 2)
+    delta = x2 - x1
+    h = l_dot3(delta, a1)
+    radial = delta - a1 * h[None]
+    rn = jnp.sqrt(jnp.maximum(l_dot3(radial, radial), 1e-24))
+    n = _safe_unit(radial, _col(m1, 0))
+    parallel = jnp.abs(l_dot3(a1, _col(m2, 2))) > 0.99
+    overlap = jnp.abs(h) < (s1[1] + s2[1])
+    d_radial = rn - s1[0] - s2[0]
+    d = jnp.where(parallel & overlap, d_radial, jnp.asarray(_BIG, dtype))
+    h_lo = jnp.maximum(-s1[1], h - s2[1])
+    h_hi = jnp.minimum(jnp.full_like(h, s1[1]), h + s2[1])
+    radial_pos = x1 + n * (s1[0] + 0.5 * d_radial)[None]
+    return [(d, radial_pos + a1 * h_hi[None], n), (d, radial_pos + a1 * h_lo[None], n)]
+
+
+def _cyl_correction(d, n, axis, r):
+    na = jnp.clip(jnp.abs(l_dot3(n, axis)), 0.0, 1.0)
+    return d + r * (1.0 - jnp.sqrt(jnp.maximum(1.0 - na * na, 0.0)))
+
+def _k_sphere_cylinder(x1, m1, s1, x2, m2, s2):
+    [(d, p, n)] = _k_sphere_capsule(x1, m1, s1, x2, m2, s2)
+    return [(_cyl_correction(d, n, _col(m2, 2), s2[0]), p, n)]
+
+def _k_capsule_cylinder(x1, m1, s1, x2, m2, s2):
+    [(d, p, n)] = _k_capsule_capsule(x1, m1, s1, x2, m2, s2)
+    return [(_cyl_correction(d, n, _col(m2, 2), s2[0]), p, n)]
+
+def _k_cylinder_box(x1, m1, s1, x2, m2, s2):
+    out = _k_capsule_box(x1, m1, s1, x2, m2, s2)
+    axis = _col(m1, 2)
+    return [(_cyl_correction(d, n, axis, s1[0]), p, n) for (d, p, n) in out]
+
+
+def _rank_select_l(keys: list, k: int) -> list:
+    """Rank one-hot selection over a static list of (B,) keys: result[s][j]
+    is 1.0 where keys[j] is the s-th smallest (stable, index tiebreak)."""
+    n = len(keys)
+    dtype = keys[0].dtype
+    ranks = []
+    for i in range(n):
+        r = jnp.zeros_like(keys[0])
+        for j in range(n):
+            if j == i:
+                continue
+            lt = keys[j] < keys[i]
+            tie = (keys[j] == keys[i]) & (j < i)
+            r = r + (lt | tie).astype(dtype)
+        ranks.append(r)
+    return [[(ranks[j] == s).astype(dtype) for j in range(n)] for s in range(k)]
+
+
+def _k_capsule_box(x1, m1, s1, x2, m2, s2):
+    """2-slot capsule-box (port of box_collision.capsule_box)."""
+    from judo_tpu.physics.lane_engine import const_col
+
+    dtype = x1.dtype
+    r, hl = s1[0], s1[1]
+    axis = _col(m1, 2)
+    size = const_col(s2[:3], dtype)
+    t = jnp.clip(l_dot3(x2 - x1, axis), -hl, hl)
+    cands = [x1 - hl * axis, x1 + hl * axis, x1 + t[None] * axis]
+
+    dists, pts, normals = [], [], []
+    for c in cands:
+        local = l_mat_t_vec(m2, c - x2)
+        clamped = jnp.clip(local, -size, size)
+        delta = local - clamped
+        dn = jnp.sqrt(jnp.maximum(l_dot3(delta, delta), 1e-24))
+        outside = dn > 1e-9
+        gaps = size - jnp.abs(local)
+        gmin = jnp.min(gaps, axis=0)
+        sel = first_true_onehot([gaps[i] == gmin for i in range(3)])
+        ohax = jnp.stack([s_.astype(dtype) for s_ in sel])
+        n_in = jnp.sign(usum(local * ohax, 0))[None] * ohax
+        d_in = -gmin
+        n_out = delta / jnp.maximum(dn, 1e-12)[None]
+        n_local = jnp.where(outside[None], n_out, n_in)
+        d = jnp.where(outside, dn, d_in) - r
+        n = -l_mat_vec(m2, n_local)
+        surf_local = jnp.where(outside[None], clamped, local - d_in[None] * n_in)
+        surf = x2 + l_mat_vec(m2, surf_local)
+        dists.append(d)
+        pts.append(surf + 0.5 * d[None] * n)
+        normals.append(n)
+
+    sel = _rank_select_l(dists, 2)
+    out = []
+    for s in range(2):
+        d = sum(sel[s][j] * dists[j] for j in range(3))
+        p = sum(sel[s][j][None] * pts[j] for j in range(3))
+        n = sum(sel[s][j][None] * normals[j] for j in range(3))
+        out.append((d, p, n))
+    return out
+
+
+def _k_box_box(x1, m1, s1, x2, m2, s2):
+    """4-slot box-box SAT manifold (port of box_collision.box_box)."""
+    dtype = x1.dtype
+    B = x1.shape[-1]
+    d_vec = x2 - x1
+    size1 = np.asarray(s1[:3], np.float64)
+    size2 = np.asarray(s2[:3], np.float64)
+
+    axes = [(_col(m1, i)) for i in range(3)] + [(_col(m2, j)) for j in range(3)]
+    for i in range(3):
+        for j in range(3):
+            axes.append(l_cross(_col(m1, i), _col(m2, j)))
+
+    seps, valids, axes_n = [], [], []
+    for a in axes:
+        nrm = jnp.sqrt(jnp.maximum(l_dot3(a, a), 1e-24))
+        an = a / jnp.maximum(nrm, 1e-12)[None]
+        p1 = sum(float(size1[i]) * jnp.abs(l_dot3(an, _col(m1, i))) for i in range(3))
+        p2 = sum(float(size2[j]) * jnp.abs(l_dot3(an, _col(m2, j))) for j in range(3))
+        seps.append(jnp.abs(l_dot3(an, d_vec)) - p1 - p2)
+        valids.append(nrm > 1e-6)
+        axes_n.append(an)
+
+    neg_inf = jnp.asarray(-_BIG, dtype)
+    scores = [jnp.where(valids[i], seps[i] + (1e-6 if i >= 6 else 0.0), neg_inf) for i in range(15)]
+    smax = scores[0]
+    for sc in scores[1:]:
+        smax = jnp.maximum(smax, sc)
+    oh = first_true_onehot([scores[i] == smax for i in range(15)])
+    dist = seps[0] * 0 + neg_inf
+    for i in range(15):
+        dist = jnp.maximum(dist, jnp.where(valids[i], seps[i], neg_inf))
+
+    axis = sum(oh[i].astype(dtype)[None] * axes_n[i] for i in range(15))
+    sign = jnp.where(l_dot3(axis, d_vec) >= 0, 1.0, -1.0).astype(dtype)
+    normal = sign[None] * axis
+
+    is_face = (oh[0] | oh[1] | oh[2] | oh[3] | oh[4] | oh[5])
+    ref_is_1 = (oh[0] | oh[1] | oh[2])
+
+    # reference/incident box quantities blended per lane
+    rsel = ref_is_1.astype(dtype)[None]
+    ref_pos = rsel * x1 + (1 - rsel) * x2
+    inc_pos = rsel * x2 + (1 - rsel) * x1
+    ref_cols = [rsel * _col(m1, i) + (1 - rsel) * _col(m2, i) for i in range(3)]
+    inc_cols = [rsel * _col(m2, i) + (1 - rsel) * _col(m1, i) for i in range(3)]
+    ref_size = [jnp.where(ref_is_1, float(size1[i]), float(size2[i])) for i in range(3)]
+    inc_size = [jnp.where(ref_is_1, float(size2[i]), float(size1[i])) for i in range(3)]
+    ref_n = jnp.where(ref_is_1[None], normal, -normal)
+
+    # reference face local axis: one-hot over |alignment|
+    ref_align = [l_dot3(ref_cols[i], ref_n) for i in range(3)]
+    ra_abs = [jnp.abs(v) for v in ref_align]
+    ra_max = jnp.maximum(jnp.maximum(ra_abs[0], ra_abs[1]), ra_abs[2])
+    e_ref = first_true_onehot([ra_abs[i] == ra_max for i in range(3)])
+    ref_sign = jnp.sign(sum(ref_align[i] * e_ref[i].astype(dtype) for i in range(3)) + 1e-12)
+
+    inc_align = [l_dot3(inc_cols[i], ref_n) for i in range(3)]
+    ia_abs = [jnp.abs(v) for v in inc_align]
+    ia_max = jnp.maximum(jnp.maximum(ia_abs[0], ia_abs[1]), ia_abs[2])
+    e_ax = first_true_onehot([ia_abs[i] == ia_max for i in range(3)])
+    inc_sign = -jnp.sign(sum(inc_align[i] * e_ax[i].astype(dtype) for i in range(3)) + 1e-12)
+
+    def _blend_axis(oh3: list, items: list):
+        """Select from 3 per-axis (B,) or (3,B) items with a one-hot list."""
+        out = 0.0
+        for i in range(3):
+            w = oh3[i].astype(dtype)
+            out = out + (w[None] * items[i] if items[i].ndim == 2 else w * items[i])
+        return out
+
+    # incident face u/v axes are the two non-face axes in cyclic order:
+    # u = (ax+1)%3, so axis k carries weight [ax == (k-1)%3] = e_ax[(k+2)%3]
+    oh_u = [e_ax[(k + 2) % 3] for k in range(3)]
+    oh_v = [e_ax[(k + 1) % 3] for k in range(3)]
+
+    inc_face_size = _blend_axis(e_ax, inc_size)
+    c_world = inc_pos + (inc_sign * inc_face_size)[None] * _blend_axis(e_ax, inc_cols)
+    u_axis_w = _blend_axis(oh_u, inc_cols)
+    v_axis_w = _blend_axis(oh_v, inc_cols)
+    u_half = _blend_axis(oh_u, inc_size)
+    v_half = _blend_axis(oh_v, inc_size)
+
+    verts = []
+    for su, sv in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
+        verts.append(c_world + (su * u_half)[None] * u_axis_w + (sv * v_half)[None] * v_axis_w)
+
+    # reference face rectangle frame
+    r_u_w = _blend_axis([e_ref[(k + 2) % 3] for k in range(3)], ref_cols)
+    r_v_w = _blend_axis([e_ref[(k + 1) % 3] for k in range(3)], ref_cols)
+    r_n_w = _blend_axis(e_ref, ref_cols)
+    hu = _blend_axis([e_ref[(k + 2) % 3] for k in range(3)], ref_size)
+    hv = _blend_axis([e_ref[(k + 1) % 3] for k in range(3)], ref_size)
+    h_face = _blend_axis(e_ref, ref_size)
+
+    u = [l_dot3(vx - ref_pos, r_u_w) for vx in verts]
+    v = [l_dot3(vx - ref_pos, r_v_w) for vx in verts]
+    w = [l_dot3(vx - ref_pos, r_n_w) for vx in verts]
+    u_c = [jnp.clip(x, -hu, hu) for x in u]
+    v_c = [jnp.clip(x, -hv, hv) for x in v]
+
+    # incident-face plane in (u, v, w) ref coords via one cross product
+    d10 = v3_sub(verts[1], verts[0])
+    d20 = v3_sub(verts[2], verts[0])
+    n_pl = l_cross(d10, d20)
+    n_u = l_dot3(n_pl, r_u_w)
+    n_v = l_dot3(n_pl, r_v_w)
+    n_w = l_dot3(n_pl, r_n_w)
+    n_w = jnp.sign(n_w + 1e-30) * jnp.maximum(jnp.abs(n_w), 1e-12)
+
+    face_pts, face_ds = [], []
+    h_ref = h_face * ref_sign
+    for s in range(4):
+        w_c = w[0] - (n_u * (u_c[s] - u[0]) + n_v * (v_c[s] - v[0])) / n_w
+        depth = ref_sign * w_c - h_face
+        mid_w = 0.5 * (w_c + h_ref)
+        p = ref_pos + u_c[s][None] * r_u_w + v_c[s][None] * r_v_w + mid_w[None] * r_n_w
+        face_pts.append(p)
+        face_ds.append(depth)
+
+    # edge-edge single contact
+    e1_sel = [sum_oh([oh[6 + 3 * i + j] for j in range(3)]) for i in range(3)]  # axis of box1
+    e2_sel = [sum_oh([oh[6 + i + 3 * j] for j in range(3)]) for i in range(3)]  # axis of box2
+    a1 = sum(e1_sel[i].astype(dtype)[None] * _col(m1, i) for i in range(3))
+    a2 = sum(e2_sel[i].astype(dtype)[None] * _col(m2, i) for i in range(3))
+    # avoid zero axes when a face won: fall back to x-axes (masked out anyway)
+    a1 = jnp.where(is_face[None], _col(m1, 0), a1)
+    a2 = jnp.where(is_face[None], _col(m2, 0), a2)
+
+    def edge_center(pos, cols, size, oh_edge, toward):
+        out = pos
+        for i in range(3):
+            s_i = jnp.sign(l_dot3(cols[i], toward) + 1e-12)
+            keep = 1.0 - oh_edge[i].astype(dtype)
+            out = out + (keep * s_i * float(size[i]))[None] * cols[i]
+        return out
+
+    c1 = edge_center(x1, [_col(m1, i) for i in range(3)], size1, e1_sel, normal)
+    c2 = edge_center(x2, [_col(m2, i) for i in range(3)], size2, e2_sel, -normal)
+    d12 = c2 - c1
+    a1a2 = l_dot3(a1, a2)
+    denom = jnp.maximum(1.0 - a1a2 * a1a2, 1e-9)
+    t1 = (l_dot3(d12, a1) - l_dot3(d12, a2) * a1a2) / denom
+    t2 = -(l_dot3(d12, a2) - l_dot3(d12, a1) * a1a2) / denom
+    edge_pt = 0.5 * (c1 + t1[None] * a1 + c2 + t2[None] * a2)
+
+    big = jnp.asarray(_BIG, dtype)
+    sep_positive = dist >= 0
+    out = []
+    for s in range(4):
+        fd = jnp.where(face_ds[s] < 0, face_ds[s], jnp.maximum(face_ds[s], dist))
+        ed = dist if s == 0 else jnp.full_like(dist, _BIG)
+        dd = jnp.where(is_face, fd, ed)
+        pp = jnp.where(is_face[None], face_pts[s], edge_pt)
+        dd = jnp.where(sep_positive, dist if s == 0 else big, dd)
+        out.append((dd, pp, normal))
+    return out
+
+
+def v3_sub(a, b):
+    return a - b
+
+
+def sum_oh(masks: list) -> jnp.ndarray:
+    out = masks[0]
+    for mk in masks[1:]:
+        out = out | mk
+    return out
+
+
+_L_KERNELS = {
+    (GEOM_PLANE, GEOM_SPHERE): _k_plane_sphere,
+    (GEOM_PLANE, GEOM_CAPSULE): _k_plane_capsule,
+    (GEOM_PLANE, GEOM_CYLINDER): _k_plane_cylinder,
+    (GEOM_PLANE, GEOM_BOX): _k_plane_box,
+    (GEOM_SPHERE, GEOM_SPHERE): _k_sphere_sphere,
+    (GEOM_SPHERE, GEOM_CAPSULE): _k_sphere_capsule,
+    (GEOM_SPHERE, GEOM_CYLINDER): _k_sphere_cylinder,
+    (GEOM_SPHERE, GEOM_BOX): _k_sphere_box,
+    (GEOM_CAPSULE, GEOM_CAPSULE): _k_capsule_capsule,
+    (GEOM_CAPSULE, GEOM_CYLINDER): _k_capsule_cylinder,
+    (GEOM_CAPSULE, GEOM_BOX): _k_capsule_box,
+    (GEOM_CYLINDER, GEOM_CYLINDER): _k_cylinder_cylinder,
+    (GEOM_CYLINDER, GEOM_BOX): _k_cylinder_box,
+    (GEOM_BOX, GEOM_BOX): _k_box_box,
+}
+
+
+def _pair_params_np(m: PhysicsModel, g1: int, g2: int):
+    """Host-side mixed contact parameters (mj_contactParam): identical math to
+    collision._pair_params_batched, evaluated in numpy at trace time (the
+    inputs are model constants)."""
+    gp = lambda a: np.asarray(jax.device_get(a), np.float64)  # noqa: E731
+    fric = gp(m.geom_friction)
+    solref = gp(m.geom_solref)
+    solimp = gp(m.geom_solimp)
+    solmix = gp(m.geom_solmix)
+    margin = gp(m.geom_margin)
+    gap = gp(m.geom_gap)
+    p1, p2 = m.geom_priority[g1], m.geom_priority[g2]
+    if p1 > p2:
+        mu, sr, si = fric[g1, 0], solref[g1], solimp[g1]
+        mg = margin[g1] - gap[g1]
+    elif p2 > p1:
+        mu, sr, si = fric[g2, 0], solref[g2], solimp[g2]
+        mg = margin[g2] - gap[g2]
+    else:
+        mu = max(fric[g1, 0], fric[g2, 0])
+        s1, s2 = solmix[g1], solmix[g2]
+        w1 = s1 / max(s1 + s2, 1e-12)
+        w2 = 1.0 - w1
+        if solref[g1, 0] > 0 and solref[g2, 0] > 0:
+            sr = w1 * solref[g1] + w2 * solref[g2]
+        else:
+            sr = np.minimum(solref[g1], solref[g2])
+        si = w1 * solimp[g1] + w2 * solimp[g2]
+        mg = max(margin[g1], margin[g2]) - max(gap[g1], gap[g2])
+    return max(float(mu), 1e-5), sr, si, float(mg)
+
+
+def find_contacts_l(m: PhysicsModel, kin: LaneKin) -> list:
+    """Narrowphase over the static pair list -> list[LaneContact].
+
+    Same slot layout as collision.find_contacts grouped-by-type ordering, so
+    the efc row order matches the XLA path exactly (warm-start transfer and
+    parity tests rely on it)."""
+    gp = lambda a: np.asarray(jax.device_get(a), np.float64)  # noqa: E731
+    geom_size = gp(m.geom_size)
+
+    groups: dict = {}
+    for g1, g2 in m.collision_pairs:
+        sig = (m.geom_type[g1], m.geom_type[g2])
+        if sig in _L_KERNELS:
+            groups.setdefault(sig, []).append((g1, g2))
+
+    contacts: list = []
+    for sig, pairs in groups.items():
+        kernel = _L_KERNELS[sig]
+        for g1, g2 in pairs:
+            slots = kernel(
+                kin.geom_xpos[g1], kin.geom_xmat[g1], geom_size[g1],
+                kin.geom_xpos[g2], kin.geom_xmat[g2], geom_size[g2],
+            )
+            mu, sr, si, mg = _pair_params_np(m, g1, g2)
+            for d, p, n in slots:
+                contacts.append(
+                    LaneContact(
+                        dist=d, pos=p, normal=n,
+                        body1=m.geom_bodyid[g1], body2=m.geom_bodyid[g2],
+                        friction=mu, solref=sr, solimp=si, includemargin=mg,
+                    )
+                )
+    return contacts
+
+
+def tangent_frame_l(n: jnp.ndarray) -> tuple:
+    """Orthonormal (t1, t2) completing unit normal n (3, B)."""
+    dtype = n.dtype
+    B = n.shape[-1]
+    ex = _e3([1, 0, 0], dtype, B)
+    ey = _e3([0, 1, 0], dtype, B)
+    ref = jnp.where((jnp.abs(n[0]) < 0.5)[None], ex, ey)
+    t1 = l_cross(n, ref)
+    t1 = t1 / jnp.maximum(jnp.sqrt(jnp.maximum(l_dot3(t1, t1), 1e-24)), 1e-12)[None]
+    t2 = l_cross(n, t1)
+    return t1, t2

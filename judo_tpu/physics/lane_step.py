@@ -1,0 +1,521 @@
+"""Constraint assembly, APGD dual solve, sensors and integration — lanes.
+
+The lanes counterpart of solver.py + sensors.py + step.py's integrator: one
+pure function ``step_l`` advancing a whole batch of rollouts one physics step
+with every array batch-last (see lane_engine.py docstring). Constraint row
+ORDER matches solver.assemble_constraints exactly (equalities, joint limits,
+contact pyramids in group order), so efc warm-starts and parity tests line up
+across the two formulations.
+
+Differences vs the XLA-path solver (both intentional):
+- mass-matrix inverses are exact every step (cheap in-kernel), so there is no
+  Newton-Schulz chain and no divergence-guard machinery;
+- the APGD Lipschitz bound uses ||J||^2 ||M^-1|| (three cheap norm reductions)
+  instead of materializing M^-1 J^T for the tighter two-factor bound — a
+  slightly smaller step per iteration, compensated by the warm start.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from judo_tpu.physics import lane_engine as le
+from judo_tpu.physics.lane_collision import LaneContact, find_contacts_l, tangent_frame_l
+from judo_tpu.physics.lane_engine import (
+    LaneCom,
+    LaneKin,
+    l_cross,
+    l_dot3,
+    l_quat_integrate,
+    l_quat_mul,
+    mat_vec_l,
+    spd_inverse_l,
+    usum,
+)
+from judo_tpu.physics.model import (
+    BALL,
+    EQ_JOINT,
+    FREE,
+    HINGE,
+    INT_IMPLICITFAST,
+    SENSOR_DISTANCE,
+    SENSOR_FRAMEPOS,
+    SENSOR_FRAMEQUAT,
+    SENSOR_FRAMEXAXIS,
+    SENSOR_FRAMEYAXIS,
+    SENSOR_FRAMEZAXIS,
+    SENSOR_JOINTPOS,
+    SENSOR_JOINTVEL,
+    SLIDE,
+    _OBJ_BODY,
+    _OBJ_SITE,
+    _OBJ_XBODY,
+    PhysicsModel,
+)
+
+_MINVAL = 1e-15
+_MINIMP, _MAXIMP = 1e-4, 0.9999
+
+
+def _np(a) -> np.ndarray:
+    return np.asarray(jax.device_get(a), np.float64)
+
+
+def impedance_l(solimp: np.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """MuJoCo constraint impedance d(r) with host-constant solimp, (B,) pos."""
+    dmin, dmax, width, mid, power = (float(solimp[i]) for i in range(5))
+    x = jnp.clip(jnp.abs(pos) / max(width, _MINVAL), 0.0, 1.0)
+    mid = min(max(mid, _MINIMP), _MAXIMP)
+    power = max(power, 1.0)
+    if power == 1.0:
+        y = x
+    else:
+        lo = (mid ** (1.0 - power)) * x**power
+        hi = 1.0 - ((1.0 - mid) ** (1.0 - power)) * (1.0 - x) ** power
+        y = jnp.where(x <= mid, lo, hi)
+    return jnp.clip(dmin + y * (dmax - dmin), _MINIMP, _MAXIMP)
+
+
+def kb_from_solref_np(solref: np.ndarray, solimp: np.ndarray, timestep: float) -> tuple:
+    """Host-side stiffness/damping from solref (solver.kb_from_solref)."""
+    dmax = min(max(float(solimp[1]), _MINIMP), _MAXIMP)
+    timeconst = max(float(solref[0]), 2.0 * timestep)
+    dampratio = float(solref[1])
+    if solref[0] > 0:
+        k = 1.0 / max(dmax * dmax * timeconst * timeconst * dampratio * dampratio, _MINVAL)
+        b = 2.0 / max(dmax * timeconst, _MINVAL)
+    else:
+        k, b = -float(solref[0]), -float(solref[1])
+    return k, b
+
+
+class LaneRows(NamedTuple):
+    J: jnp.ndarray  # (nefc, nv, B)
+    aref: jnp.ndarray  # (nefc, B)
+    reg: jnp.ndarray  # (nefc, B)
+    active: jnp.ndarray  # (nefc, B)
+
+
+def assemble_constraints_l(
+    m: PhysicsModel,
+    com: LaneCom,
+    contacts: list,
+    qpos: jnp.ndarray,
+    qvel: jnp.ndarray,
+) -> LaneRows | None:
+    """Equalities + joint limits + pyramidal contact rows, batch-last."""
+    dtype = qvel.dtype
+    B = qvel.shape[-1]
+    ts = float(_np(m.timestep))
+    qpos0 = _np(m.qpos0)
+    eq_data = _np(m.eq_data) if m.neq else np.zeros((0, 11))
+    eq_solref = _np(m.eq_solref) if m.neq else np.zeros((0, 2))
+    eq_solimp = _np(m.eq_solimp) if m.neq else np.zeros((0, 5))
+    dof_invweight0 = _np(m.dof_invweight0)
+    jnt_range = _np(m.jnt_range)
+    jnt_margin = _np(m.jnt_margin)
+    jnt_solref = _np(m.jnt_solref)
+    jnt_solimp = _np(m.jnt_solimp)
+    body_invweight0 = _np(m.body_invweight0)
+    body_dof_mask = _np(m.body_dof_mask)
+
+    rows_J: list = []
+    rows_aref: list = []
+    rows_reg: list = []
+    rows_active: list = []
+    ones = jnp.ones(B, dtype)
+
+    from judo_tpu.physics.lane_engine import const_col
+
+    def const_row(v: np.ndarray) -> jnp.ndarray:
+        return jnp.broadcast_to(const_col(v, dtype), (m.nv, B))
+
+    # --- joint equality couplings (solver.assemble_constraints order) ---
+    for e in range(m.neq):
+        if m.eq_type[e] != EQ_JOINT:
+            continue
+        j1, j2 = m.eq_obj1id[e], m.eq_obj2id[e]
+        q1adr, d1 = m.jnt_qposadr[j1], m.jnt_dofadr[j1]
+        coef = eq_data[e]
+        e1 = np.eye(m.nv)[d1]
+        if j2 >= 0:
+            q2adr, d2 = m.jnt_qposadr[j2], m.jnt_dofadr[j2]
+            dq2 = qpos[q2adr] - float(qpos0[q2adr])
+            poly = coef[0] + dq2 * (coef[1] + dq2 * (coef[2] + dq2 * (coef[3] + dq2 * coef[4])))
+            dpoly = coef[1] + dq2 * (2 * coef[2] + dq2 * (3 * coef[3] + dq2 * 4 * coef[4]))
+            pos = (qpos[q1adr] - float(qpos0[q1adr])) - poly
+            e2 = np.eye(m.nv)[d2]
+            row = const_row(e1) - dpoly[None] * const_row(e2)
+            inv_w = float(dof_invweight0[d1] + dof_invweight0[d2])
+        else:
+            pos = (qpos[q1adr] - float(qpos0[q1adr])) - float(coef[0])
+            row = const_row(e1)
+            inv_w = float(dof_invweight0[d1])
+        imp = impedance_l(eq_solimp[e], pos)
+        k, b = kb_from_solref_np(eq_solref[e], eq_solimp[e], ts)
+        vel = usum(row * qvel, 0)
+        reg_val = (1.0 - imp) / jnp.maximum(imp, _MINIMP) * inv_w
+        for sgn in (1.0, -1.0):
+            rows_J.append(sgn * row)
+            rows_aref.append(sgn * (-b * vel - k * imp * pos))
+            rows_reg.append(reg_val)
+            rows_active.append(ones)
+
+    # --- joint limits (solver._limit_meta order) ---
+    for j in range(m.njnt if m.limit_enabled else 0):
+        if not m.jnt_limited[j] or m.jnt_type[j] not in (SLIDE, HINGE):
+            continue
+        qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+        for sgn in (1.0, -1.0):
+            q = qpos[qadr]
+            dist = (q - float(jnt_range[j, 0])) if sgn > 0 else (float(jnt_range[j, 1]) - q)
+            pos = dist - float(jnt_margin[j])
+            imp = impedance_l(jnt_solimp[j], pos)
+            k, b = kb_from_solref_np(jnt_solref[j], jnt_solimp[j], ts)
+            vel = sgn * qvel[dadr]
+            rows_J.append(const_row(sgn * np.eye(m.nv)[dadr]))
+            rows_aref.append(-b * vel - k * imp * pos)
+            rows_reg.append((1.0 - imp) / jnp.maximum(imp, _MINIMP) * float(dof_invweight0[dadr]))
+            rows_active.append((dist < float(jnt_margin[j])).astype(dtype))
+
+    # --- contacts: pyramidal facets ---
+    if contacts:
+        CD = jnp.stack(com.cdof)  # (nv, 6, B)
+        ANG = CD[:, :3, :]
+        LIN = CD[:, 3:, :]
+        for c in contacts:
+            c: LaneContact
+            arm1 = c.pos - com.root_com[c.body1]  # (3, B)
+            arm2 = c.pos - com.root_com[c.body2]
+            lin1 = LIN + l_cross(ANG, arm1[None])
+            lin2 = LIN + l_cross(ANG, arm2[None])
+            mask1 = const_col(body_dof_mask[c.body1], dtype)[:, :, None]  # (nv,1,1)
+            mask2 = const_col(body_dof_mask[c.body2], dtype)[:, :, None]
+            jac = mask2 * lin2 - mask1 * lin1  # (nv, 3, B)
+            t1, t2 = tangent_frame_l(c.normal)
+            n_row = usum(jac * c.normal[None], 1)  # (nv, B)
+            t1_row = usum(jac * t1[None], 1)
+            t2_row = usum(jac * t2[None], 1)
+
+            pos = c.dist - c.includemargin
+            imp = impedance_l(c.solimp, pos)
+            k, b = kb_from_solref_np(c.solref, c.solimp, ts)
+            mu = c.friction
+            inv_w = float(body_invweight0[c.body1, 0] + body_invweight0[c.body2, 0])
+            diag_approx = max(2.0 * inv_w * mu * mu * (1.0 + mu * mu), _MINVAL)
+            reg = (1.0 - imp) / jnp.maximum(imp, _MINIMP) * diag_approx
+            active = (c.dist < c.includemargin).astype(dtype)
+            for row in (n_row + mu * t1_row, n_row - mu * t1_row, n_row + mu * t2_row, n_row - mu * t2_row):
+                vel = usum(row * qvel, 0)
+                rows_J.append(row)
+                rows_aref.append(-b * vel - k * imp * pos)
+                rows_reg.append(reg)
+                rows_active.append(active)
+
+    if not rows_J:
+        return None
+    return LaneRows(
+        J=jnp.stack(rows_J),
+        aref=jnp.stack(rows_aref),
+        reg=jnp.stack(rows_reg),
+        active=jnp.stack(rows_active),
+    )
+
+
+def solve_dual_qp_l(
+    J: jnp.ndarray,  # (nefc, nv, B)
+    minv: jnp.ndarray,  # (nv, nv, B)
+    reg: jnp.ndarray,  # (nefc, B)
+    b: jnp.ndarray,  # (nefc, B)
+    iterations: int,
+    f_warm: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """min_{f>=0} 0.5 f^T (J M^-1 J^T + diag(reg)) f + f^T b, APGD in lanes.
+
+    Matches solver.solve_dual_qp_matfree: K = M^-1 J^T is materialized (in
+    nefc-chunks to bound intermediate size) so the Lipschitz constant is the
+    reference's two-factor Hoelder bound sqrt(||J||_1 ||J||_inf) *
+    sqrt(||K||_1 ||K||_inf) — bounding via ||J||^2 ||M^-1|| instead is ~100x
+    looser on contact scenes (measured) and APGD stops converging in any
+    realistic iteration budget. Iterations run in a fori_loop so kernel code
+    size is independent of the iteration count.
+    """
+    dtype = b.dtype
+    nefc, nv = J.shape[0], J.shape[1]
+
+    # Contractions over nefc are CHUNKED: whole-row products form
+    # (nefc, nv, B) scratch that blows the 16 MB VMEM scoped limit at
+    # leap_cube sizes (measured 27 MB); per-chunk scratch is C*nv*B floats.
+    C = 32
+
+    # K = M^-1 J^T -> (nv, nefc, B), built in row chunks
+    chunks = []
+    for r0 in range(0, nefc, C):
+        Jc = jnp.swapaxes(J[r0 : r0 + C], 0, 1)  # (nv, c, B) indexed [k, r, B]
+        chunks.append(usum(minv[:, :, None, :] * Jc[None, :, :, :], 1))
+    K = jnp.concatenate(chunks, axis=1)  # (nv, nefc, B)
+
+    def _Kf(f):  # (nefc, B) -> (nv, B)
+        acc = None
+        for r0 in range(0, nefc, C):
+            t = usum(K[:, r0 : r0 + C, :] * f[None, r0 : r0 + C, :], 1)
+            acc = t if acc is None else acc + t
+        return acc
+
+    def _Jv(v):  # (nv, B) -> (nefc, B)
+        return jnp.concatenate([usum(J[r0 : r0 + C] * v[None, :, :], 1) for r0 in range(0, nefc, C)], axis=0)
+
+    def apply_A(f):
+        return _Jv(_Kf(f)) + reg * f
+
+    def ob(mat, row_axis, col_axis):
+        l1 = jnp.max(usum(jnp.abs(mat), row_axis), axis=0)  # (B,)
+        linf = jnp.max(usum(jnp.abs(mat), col_axis), axis=0)
+        return jnp.sqrt(jnp.maximum(l1 * linf, _MINVAL))
+
+    L = ob(J, 0, 1) * ob(K, 0, 1) + jnp.max(reg, axis=0)
+    step = 1.0 / jnp.maximum(L, _MINVAL)  # (B,)
+
+    f0 = jnp.zeros_like(b) if f_warm is None else jnp.maximum(f_warm, 0.0)
+
+    def body(_, carry):
+        f, y, t = carry
+        grad = apply_A(y) + b
+        f_new = jnp.maximum(y - step[None] * grad, 0.0)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        y_new = f_new + ((t - 1.0) / t_new)[None] * (f_new - f)
+        restart = usum(grad * (f_new - f), 0) > 0  # (B,)
+        y_new = jnp.where(restart[None], f_new, y_new)
+        t_new = jnp.where(restart, jnp.ones_like(t_new), t_new)
+        return (f_new, y_new, t_new)
+
+    t0 = jnp.ones(b.shape[-1], dtype)
+    f, _, _ = jax.lax.fori_loop(0, iterations, body, (f0, f0, t0))
+    return f
+
+
+def implicit_damping_np(m: PhysicsModel) -> np.ndarray:
+    """Host-side per-dof implicit damping diagonal (step.implicit_damping)."""
+    damp = _np(m.dof_damping).copy()
+    if m.integrator == INT_IMPLICITFAST:
+        gear = _np(m.actuator_gear)[:, 0] if m.nu else np.zeros(0)
+        bias = _np(m.actuator_biasprm) if m.nu else np.zeros((0, 10))
+        for u in range(m.nu):
+            dadr = m.jnt_dofadr[m.actuator_trnid[u]]
+            damp[dadr] += -bias[u, 2] * gear[u] * gear[u]
+    return damp
+
+
+def integrate_pos_l(m: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray, h: float) -> jnp.ndarray:
+    """mj_integratePos in lanes: per-joint static slices, one final stack."""
+    segs: list = []
+    cursor = 0
+    for j in range(m.njnt):
+        jt = m.jnt_type[j]
+        qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+        assert qadr == cursor, "qpos layout must be joint-contiguous"
+        if jt in (SLIDE, HINGE):
+            segs.append(qpos[qadr : qadr + 1] + h * qvel[dadr : dadr + 1])
+            cursor += 1
+        elif jt == BALL:
+            segs.append(l_quat_integrate(qpos[qadr : qadr + 4], qvel[dadr : dadr + 3], h))
+            cursor += 4
+        elif jt == FREE:
+            segs.append(qpos[qadr : qadr + 3] + h * qvel[dadr : dadr + 3])
+            segs.append(l_quat_integrate(qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], h))
+            cursor += 7
+    if cursor < m.nq:
+        segs.append(qpos[cursor:])
+    if not segs:
+        return qpos
+    return jnp.concatenate(segs, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# sensors
+# ---------------------------------------------------------------------------
+
+
+def _distance_sensor_l(m: PhysicsModel, kin: LaneKin, body1: int, body2: int, cutoff: float) -> jnp.ndarray:
+    """mjSENS_GEOMDIST in lanes (sensors._distance_sensor semantics)."""
+    from judo_tpu.physics.lane_collision import _L_KERNELS
+
+    geom_size = _np(m.geom_size)
+    dists = [jnp.full(kin.xpos[0].shape[-1], float(cutoff), kin.xpos[0].dtype)]
+    for g1 in range(m.ngeom):
+        if m.geom_bodyid[g1] != body1 and m.geom_bodyid[g1] != body2:
+            continue
+        for g2 in range(m.ngeom):
+            if m.geom_bodyid[g1] == body1 and m.geom_bodyid[g2] != body2:
+                continue
+            if m.geom_bodyid[g1] == body2 and m.geom_bodyid[g2] != body1:
+                continue
+            if m.geom_bodyid[g1] == m.geom_bodyid[g2]:
+                continue
+            a, b = (g1, g2) if m.geom_type[g1] <= m.geom_type[g2] else (g2, g1)
+            if a != g1:
+                continue
+            kernel = _L_KERNELS.get((m.geom_type[a], m.geom_type[b]))
+            if kernel is None:
+                continue
+            slots = kernel(
+                kin.geom_xpos[a], kin.geom_xmat[a], geom_size[a],
+                kin.geom_xpos[b], kin.geom_xmat[b], geom_size[b],
+            )
+            for d, _, _ in slots:
+                dists.append(d)
+    out = dists[0]
+    for d in dists[1:]:
+        out = jnp.minimum(out, d)
+    return out
+
+
+def evaluate_sensors_l(
+    m: PhysicsModel, kin: LaneKin, qpos: jnp.ndarray, qvel: jnp.ndarray
+) -> jnp.ndarray:
+    """Flat (nsensordata, B) sensordata (sensors.evaluate_sensors semantics)."""
+    dtype = qpos.dtype
+    B = qpos.shape[-1]
+    site_quat = _np(m.site_quat) if m.nsite else np.zeros((0, 4))
+    body_iquat = _np(m.body_iquat)
+    sensor_cutoff = _np(m.sensor_cutoff) if m.nsensor else np.zeros(0)
+
+    segs: list = []
+    cursor = 0
+
+    def emit(adr: int, dim: int, val: jnp.ndarray | None) -> None:
+        nonlocal cursor
+        assert adr >= cursor
+        if adr > cursor:
+            segs.append(jnp.zeros((adr - cursor, B), dtype))
+        if val is None:
+            segs.append(jnp.zeros((dim, B), dtype))
+        else:
+            segs.append(val if val.ndim == 2 else val[None])
+        cursor = adr + dim
+
+    from judo_tpu.physics.lane_engine import const_col as _cc
+
+    def const4(v) -> jnp.ndarray:
+        return jnp.broadcast_to(_cc(v, dtype), (4, B))
+
+    for i in range(m.nsensor):
+        stype = m.sensor_type[i]
+        objtype = m.sensor_objtype[i]
+        objid = m.sensor_objid[i]
+        adr, dim = m.sensor_adr[i], m.sensor_dim[i]
+        val = None
+        if stype == SENSOR_JOINTPOS:
+            val = qpos[m.jnt_qposadr[objid]]
+        elif stype == SENSOR_JOINTVEL:
+            val = qvel[m.jnt_dofadr[objid]]
+        elif stype == SENSOR_FRAMEPOS:
+            if objtype == _OBJ_SITE:
+                val = kin.site_xpos[objid]
+            elif objtype in (_OBJ_BODY, _OBJ_XBODY):
+                val = kin.xipos[objid] if objtype == _OBJ_BODY else kin.xpos[objid]
+            if val is not None:
+                refid = m.sensor_refid[i]
+                if refid >= 0 and m.sensor_reftype[i] == _OBJ_SITE:
+                    rel = val - kin.site_xpos[refid]
+                    val = usum(kin.site_xmat[refid] * rel[:, None, :], 0)
+        elif stype == SENSOR_DISTANCE and objtype == _OBJ_BODY:
+            val = _distance_sensor_l(m, kin, objid, m.sensor_refid[i], float(sensor_cutoff[i]))
+        elif stype in (SENSOR_FRAMEXAXIS, SENSOR_FRAMEYAXIS, SENSOR_FRAMEZAXIS):
+            col = {SENSOR_FRAMEXAXIS: 0, SENSOR_FRAMEYAXIS: 1, SENSOR_FRAMEZAXIS: 2}[stype]
+            if objtype == _OBJ_SITE:
+                val = kin.site_xmat[objid][:, col, :]
+            elif objtype in (_OBJ_BODY, _OBJ_XBODY):
+                val = kin.xmat[objid][:, col, :]
+        elif stype == SENSOR_FRAMEQUAT:
+            if objtype == _OBJ_SITE:
+                b = m.site_bodyid[objid]
+                val = l_quat_mul(kin.xquat[b], const4(site_quat[objid]))
+            elif objtype in (_OBJ_BODY, _OBJ_XBODY):
+                val = (
+                    l_quat_mul(kin.xquat[objid], const4(body_iquat[objid]))
+                    if objtype == _OBJ_BODY
+                    else kin.xquat[objid]
+                )
+        emit(adr, dim, val)
+
+    if cursor < m.nsensordata:
+        segs.append(jnp.zeros((m.nsensordata - cursor, B), dtype))
+    if not segs:
+        return jnp.zeros((m.nsensordata, B), dtype)
+    return jnp.concatenate(segs, axis=0).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# the full step
+# ---------------------------------------------------------------------------
+
+
+class LaneStepOut(NamedTuple):
+    qpos: jnp.ndarray  # (nq, B)
+    qvel: jnp.ndarray  # (nv, B)
+    sensordata: jnp.ndarray  # (nsensordata, B)
+    efc_force: jnp.ndarray  # (nefc, B) warm-start carry
+
+
+def num_constraint_rows(m: PhysicsModel) -> int:
+    from judo_tpu.physics.solver import num_constraint_rows as _n
+
+    return _n(m)
+
+
+def step_l(
+    m: PhysicsModel,
+    qpos: jnp.ndarray,  # (nq, B)
+    qvel: jnp.ndarray,  # (nv, B)
+    ctrl: jnp.ndarray,  # (nu, B)
+    f_warm: jnp.ndarray | None = None,  # (nefc, B)
+    solver_iterations: int | None = None,
+) -> LaneStepOut:
+    """One mj_step, batch-last — semantics of step.step_with_forward with
+    exact per-step inverses (cold path)."""
+    h = float(_np(m.timestep))
+    kin = le.kinematics_l(m, qpos)
+    com = le.com_l(m, kin)
+    vel = le.velocity_l(m, com, qvel)
+    mm = le.crb_mass_matrix_l(m, com)
+    qfrc_bias = le.rne_bias_l(m, com, vel, qvel)
+    qfrc_smooth = le.actuation_l(m, qpos, qvel, ctrl) + le.passive_force_l(m, qpos, qvel) - qfrc_bias
+
+    minv = spd_inverse_l(mm)
+    qacc_smooth = mat_vec_l(minv, qfrc_smooth)
+
+    from judo_tpu.physics.collision import num_contact_slots
+
+    has_contacts = m.contact_enabled and num_contact_slots(m) > 0
+    nefc = num_constraint_rows(m)
+    if nefc > 0:
+        contacts = find_contacts_l(m, kin) if has_contacts else []
+        rows = assemble_constraints_l(m, com, contacts, qpos, qvel)
+        J = rows.J * rows.active[:, None, :]
+        aref = rows.aref * rows.active
+        reg = jnp.where(rows.active > 0, rows.reg, 1.0)
+        b = usum(J * qacc_smooth[None, :, :], 1) - aref
+        iters = max(m.solver_iterations if solver_iterations is None else solver_iterations, 8)
+        f = solve_dual_qp_l(J, minv, reg, b, iters, f_warm)
+        qacc = qacc_smooth + mat_vec_l(minv, usum(J * f[:, None, :], 0))
+    else:
+        f = jnp.zeros((0, qpos.shape[-1]), qpos.dtype)
+        qacc = qacc_smooth
+
+    sens = evaluate_sensors_l(m, kin, qpos, qvel)
+
+    # implicit-in-velocity damping integration (step.step_with_forward)
+    from judo_tpu.physics.lane_engine import const_col, eye_mask
+
+    damp = implicit_damping_np(m)
+    mh = mm + h * eye_mask(m.nv, qpos.dtype) * const_col(damp, qpos.dtype)[:, :, None]
+    mhinv = spd_inverse_l(mh)
+    dv = mat_vec_l(mhinv, h * mat_vec_l(mm, qacc))
+    qvel_new = qvel + dv
+    qpos_new = integrate_pos_l(m, qpos, qvel_new, h)
+    return LaneStepOut(qpos=qpos_new, qvel=qvel_new, sensordata=sens, efc_force=f)

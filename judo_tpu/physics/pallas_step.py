@@ -1,0 +1,182 @@
+"""Pallas TPU kernel wrapping the lanes physics step, and the batched rollout.
+
+One `pl.pallas_call` = one physics step for a whole batch: the grid tiles the
+batch across 128-lane blocks, every intermediate of the ~2k-op step lives in
+VMEM/registers, and XLA sees a single opaque op per step — eliminating the
+fusion-boundary/HBM-round-trip overhead that dominates the vmap(step)
+formulation (lane_engine.py docstring; measured ~10-50x overhead at batch 320
+on v5e, scratch/profile_out.txt).
+
+Three interchangeable backends, same numerics:
+- "pallas":   Mosaic-compiled TPU kernel (the production path)
+- "interpret": pallas interpreter (tests the kernel plumbing on CPU)
+- "xla":      step_l called directly under jit (CPU fallback / parity ref)
+
+Replaces: the reference's threaded rollout loops
+(judo/utils/mj_rollout_backend.py:84, mujoco_extensions .. system_class.cpp:272-331).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from judo_tpu.physics.lane_step import step_l
+from judo_tpu.physics.model import PhysicsModel
+from judo_tpu.physics.solver import num_constraint_rows
+
+LANE_TILE = 128
+
+
+def lane_supported(m: PhysicsModel) -> bool:
+    """True when every model feature is covered by the lanes step (same
+    narrowphase coverage as the XLA path; unsupported pair types would be
+    silently dropped there, so require exact coverage here)."""
+    from judo_tpu.physics.collision import _KERNELS
+    from judo_tpu.physics.model import EQ_JOINT
+
+    for g1, g2 in m.collision_pairs:
+        if (m.geom_type[g1], m.geom_type[g2]) not in _KERNELS:
+            return False
+    for e in range(m.neq):
+        if m.eq_type[e] != EQ_JOINT:
+            return False
+    return True
+
+
+def _build_pallas_step(m: PhysicsModel, iterations: int | None, interpret: bool):
+    """Pallas step builder for one model (cheap closure construction; the
+    expensive tracing/compilation is cached by the caller's jit)."""
+    from jax.experimental import pallas as pl
+
+    nefc = num_constraint_rows(m)
+    nq, nv, nu, ns = m.nq, m.nv, m.nu, m.nsensordata
+
+    def kernel(qpos_ref, qvel_ref, ctrl_ref, f_ref, oq_ref, ov_ref, os_ref, of_ref):
+        out = step_l(
+            m,
+            qpos_ref[:],
+            qvel_ref[:],
+            ctrl_ref[:],
+            f_ref[:] if nefc else None,
+            solver_iterations=iterations,
+        )
+        oq_ref[:] = out.qpos
+        ov_ref[:] = out.qvel
+        os_ref[:] = out.sensordata if ns else jnp.zeros_like(os_ref)
+        of_ref[:] = out.efc_force if nefc else jnp.zeros_like(of_ref)
+
+    def step_fn(qpos, qvel, ctrl, f):
+        B = qpos.shape[-1]
+        assert B % LANE_TILE == 0, f"lane batch {B} must be a multiple of {LANE_TILE}"
+        dtype = qpos.dtype
+        grid = (B // LANE_TILE,)
+
+        in_specs = [
+            pl.BlockSpec((nq, LANE_TILE), lambda i: (0, i)),
+            pl.BlockSpec((nv, LANE_TILE), lambda i: (0, i)),
+            pl.BlockSpec((max(nu, 1), LANE_TILE), lambda i: (0, i)),
+            pl.BlockSpec((max(nefc, 1), LANE_TILE), lambda i: (0, i)),
+        ]
+        out_specs = (
+            pl.BlockSpec((nq, LANE_TILE), lambda i: (0, i)),
+            pl.BlockSpec((nv, LANE_TILE), lambda i: (0, i)),
+            pl.BlockSpec((max(ns, 1), LANE_TILE), lambda i: (0, i)),
+            pl.BlockSpec((max(nefc, 1), LANE_TILE), lambda i: (0, i)),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((nq, B), dtype),
+            jax.ShapeDtypeStruct((nv, B), dtype),
+            jax.ShapeDtypeStruct((max(ns, 1), B), dtype),
+            jax.ShapeDtypeStruct((max(nefc, 1), B), dtype),
+        )
+        if nu == 0:
+            ctrl = jnp.zeros((1, B), dtype)
+        if nefc == 0:
+            f = jnp.zeros((1, B), dtype)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(qpos, qvel, ctrl, f)
+
+    return step_fn
+
+
+def _xla_step_fn(m: PhysicsModel, iterations: int | None):
+    nefc = num_constraint_rows(m)
+    ns = m.nsensordata
+
+    def step_fn(qpos, qvel, ctrl, f):
+        out = step_l(m, qpos, qvel, ctrl, f if nefc else None, solver_iterations=iterations)
+        B = qpos.shape[-1]
+        sens = out.sensordata if ns else jnp.zeros((1, B), qpos.dtype)
+        fo = out.efc_force if nefc else jnp.zeros((1, B), qpos.dtype)
+        return out.qpos, out.qvel, sens, fo
+
+    return step_fn
+
+
+class LaneRolloutOutput(NamedTuple):
+    states: jnp.ndarray  # (R, T, nq + nv)
+    sensordata: jnp.ndarray  # (R, T, nsensordata)
+
+
+def rollout_lanes(
+    m: PhysicsModel,
+    qpos0: jnp.ndarray,  # (R, nq)
+    qvel0: jnp.ndarray,  # (R, nv)
+    controls: jnp.ndarray,  # (R, T, nu)
+    physics_substeps: int = 1,
+    iterations: int | None = None,
+    backend: str = "pallas",
+) -> LaneRolloutOutput:
+    """Batched rollout in the lanes formulation (states batch-first at the
+    API boundary; one transpose each way per solve).
+
+    Semantics match vmap(step.rollout) with exact per-step inverses: record
+    post-step (qpos, qvel) and the final substep's pre-integration sensordata
+    per command (mujoco.rollout convention).
+    """
+    R, T = controls.shape[0], controls.shape[1]
+    nefc = num_constraint_rows(m)
+    ns = m.nsensordata
+    dtype = qpos0.dtype
+
+    pad = (-R) % LANE_TILE if backend in ("pallas", "interpret") else 0
+    B = R + pad
+    qp = jnp.concatenate([qpos0, jnp.repeat(qpos0[-1:], pad, axis=0)], axis=0).T  # (nq, B)
+    qv = jnp.concatenate([qvel0, jnp.repeat(qvel0[-1:], pad, axis=0)], axis=0).T
+    ct = jnp.concatenate([controls, jnp.repeat(controls[-1:], pad, axis=0)], axis=0)
+    ct = jnp.transpose(ct, (1, 2, 0))  # (T, nu, B)
+
+    if backend == "pallas":
+        step_fn = _build_pallas_step(m, iterations, interpret=False)
+    elif backend == "interpret":
+        step_fn = _build_pallas_step(m, iterations, interpret=True)
+    elif backend == "xla":
+        step_fn = _xla_step_fn(m, iterations)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown lane backend {backend!r}")
+
+    f0 = jnp.zeros((max(nefc, 1), B), dtype)
+
+    def body(carry, ctrl_t):
+        qp, qv, f = carry
+        sens = None
+        for _ in range(physics_substeps):
+            qp, qv, sens, f = step_fn(qp, qv, ctrl_t, f)
+        return (qp, qv, f), (qp, qv, sens)
+
+    (_, _, _), (qps, qvs, senss) = jax.lax.scan(body, (qp, qv, f0), ct)
+    states = jnp.concatenate([qps, qvs], axis=1)  # (T, nq+nv, B)
+    states = jnp.transpose(states, (2, 0, 1))[:R]  # (R, T, nq+nv)
+    senss = jnp.transpose(senss, (2, 0, 1))[:R, :, : max(ns, 1)]
+    if ns == 0:
+        senss = senss[:, :, :0]
+    return LaneRolloutOutput(states=states, sensordata=senss)
