@@ -94,12 +94,13 @@ class Controller:
         controller_config: ControllerConfig,
         task: Task,
         optimizer: Optimizer,
-        rollout_backend: Literal["judo_tpu"] = "judo_tpu",
+        rollout_backend: Literal["auto", "judo_tpu", "vmap", "lanes_pallas", "lanes_xla"] = "auto",
         mesh=None,
     ) -> None:
         self._controller_cfg = controller_config
         self.task = task
         self.optimizer = optimizer
+        self.rollout_backend = rollout_backend
         self.mesh = mesh  # optional jax.sharding.Mesh: shard rollouts over it
         self.model = task.model
         self.pm = task.planning_model
@@ -202,6 +203,32 @@ class Controller:
             warnings.warn("Cubic splines require at least 4 nodes. Setting num_nodes=4.", stacklevel=2)
             self.optimizer_cfg.num_nodes = 4
 
+    def _resolve_rollout_backend(self) -> str:
+        """Pick the rollout implementation for the jitted solve.
+
+        - ``lanes_pallas``: the fused batch-in-lanes Pallas step (pallas_step)
+          — the TPU production path, one opaque kernel per physics step.
+        - ``lanes_xla``: same lanes formulation under plain jit (parity/debug).
+        - ``vmap``: vmap(step.rollout) — CPU default, policy tasks, and any
+          model with features the lanes step doesn't cover.
+
+        The reference's analogous switch is backend auto-selection on
+        task.uses_locomotion_policy (judo/controller/controller.py:73-85).
+        """
+        choice = self.rollout_backend
+        if choice in ("auto", "judo_tpu"):
+            if self.task.uses_locomotion_policy:
+                return "vmap"
+            from judo_tpu.physics.pallas_step import lane_supported
+
+            if not lane_supported(self.pm):
+                return "vmap"
+            multi_device = self.mesh is not None and self.mesh.devices.size > 1
+            if jax.default_backend() == "tpu" and not multi_device:
+                return "lanes_pallas"
+            return "vmap"
+        return choice
+
     def _signature(self) -> tuple:
         oc = self.optimizer_cfg
         cc = self.controller_cfg
@@ -223,6 +250,7 @@ class Controller:
             int(cc.max_opt_iters),
             cc.action_normalizer,
             min(cc.max_num_traces, oc.num_rollouts),
+            self._resolve_rollout_backend(),
             extra,
         )
 
@@ -245,6 +273,8 @@ class Controller:
             kind = "none"
         substeps = task.physics_substeps
         uses_policy = task.uses_locomotion_policy
+        _backend = self._resolve_rollout_backend()
+        lane_backend = {"lanes_pallas": "pallas", "lanes_xla": "xla"}.get(_backend)
         spot_policy = getattr(task, "policy", None) if uses_policy else None
         spline_ts = jnp.asarray(self.spline_timesteps, dtype)
         rollout_ts = jnp.asarray(self.rollout_times, dtype)
@@ -319,6 +349,18 @@ class Controller:
                     )(sim_controls, pout)
                     states, sensors = out.states, out.sensordata
                     new_policy_output = out.final_policy_output
+                elif lane_backend is not None:
+                    from judo_tpu.physics.pallas_step import rollout_lanes
+
+                    R_ = sim_controls.shape[0]
+                    qp0 = jnp.broadcast_to(x0.qpos, (R_, pm.nq))
+                    qv0 = jnp.broadcast_to(x0.qvel, (R_, pm.nv))
+                    out = rollout_lanes(
+                        pm, qp0, qv0, sim_controls,
+                        physics_substeps=substeps, backend=lane_backend,
+                    )
+                    states, sensors = out.states, out.sensordata
+                    new_policy_output = carry.last_policy_output
                 else:
                     out = jax.vmap(lambda c: rollout(pm, x0, c, physics_substeps=substeps))(sim_controls)
                     states, sensors = out.states, out.sensordata
@@ -351,6 +393,10 @@ class Controller:
             outputs = SolveOutputs(rewards, states, sensors, rollout_controls, candidates, traces)
             return new_carry, outputs
 
+        if lane_backend == "pallas":
+            from judo_tpu.physics.pallas_step import LANE_COMPILER_OPTIONS
+
+            return jax.jit(solve, compiler_options=LANE_COMPILER_OPTIONS)
         return jax.jit(solve)
 
     def _get_solve(self):

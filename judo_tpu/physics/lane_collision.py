@@ -530,7 +530,9 @@ def find_contacts_l(m: PhysicsModel, kin: LaneKin) -> list:
     the efc row order matches the XLA path exactly (warm-start transfer and
     parity tests rely on it)."""
     gp = lambda a: np.asarray(jax.device_get(a), np.float64)  # noqa: E731
-    geom_size = gp(m.geom_size)
+    # python-float rows, NOT np.float64: np scalars are strongly typed and
+    # would promote the whole f32 lane pipeline to f64 under jax_enable_x64
+    geom_size = [[float(v) for v in row] for row in gp(m.geom_size)]
 
     groups: dict = {}
     for g1, g2 in m.collision_pairs:

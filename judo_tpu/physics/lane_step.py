@@ -93,6 +93,22 @@ def kb_from_solref_np(solref: np.ndarray, solimp: np.ndarray, timestep: float) -
     return k, b
 
 
+def jt_vec_chunked(J: jnp.ndarray, f: jnp.ndarray, C: int = 32) -> jnp.ndarray:
+    """J^T f: (nefc, nv, B), (nefc, B) -> (nv, B) in row chunks (VMEM-bounded)."""
+    nefc = J.shape[0]
+    acc = None
+    for r0 in range(0, nefc, C):
+        t = usum(J[r0 : r0 + C] * f[r0 : r0 + C][:, None, :], 0)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def j_vec_chunked(J: jnp.ndarray, v: jnp.ndarray, C: int = 32) -> jnp.ndarray:
+    """J v: (nefc, nv, B), (nv, B) -> (nefc, B) in row chunks (VMEM-bounded)."""
+    nefc = J.shape[0]
+    return jnp.concatenate([usum(J[r0 : r0 + C] * v[None, :, :], 1) for r0 in range(0, nefc, C)], axis=0)
+
+
 class LaneRows(NamedTuple):
     J: jnp.ndarray  # (nefc, nv, B)
     aref: jnp.ndarray  # (nefc, B)
@@ -140,7 +156,7 @@ def assemble_constraints_l(
             continue
         j1, j2 = m.eq_obj1id[e], m.eq_obj2id[e]
         q1adr, d1 = m.jnt_qposadr[j1], m.jnt_dofadr[j1]
-        coef = eq_data[e]
+        coef = [float(v) for v in eq_data[e]]  # python floats: no x64 promotion
         e1 = np.eye(m.nv)[d1]
         if j2 >= 0:
             q2adr, d2 = m.jnt_qposadr[j2], m.jnt_dofadr[j2]
@@ -250,34 +266,40 @@ def solve_dual_qp_l(
     # Contractions over nefc are CHUNKED: whole-row products form
     # (nefc, nv, B) scratch that blows the 16 MB VMEM scoped limit at
     # leap_cube sizes (measured 27 MB); per-chunk scratch is C*nv*B floats.
+    # K = M^-1 J^T is NEVER materialized (that alone is nefc*nv*B floats plus
+    # 4D build temporaries — 11+ MB at leap_cube sizes): apply_A is fully
+    # matrix-free (J^T f -> M^-1 -> J v) and the Lipschitz norms of K are
+    # accumulated chunk-by-chunk with the chunks discarded.
     C = 32
 
-    # K = M^-1 J^T -> (nv, nefc, B), built in row chunks
-    chunks = []
-    for r0 in range(0, nefc, C):
-        Jc = jnp.swapaxes(J[r0 : r0 + C], 0, 1)  # (nv, c, B) indexed [k, r, B]
-        chunks.append(usum(minv[:, :, None, :] * Jc[None, :, :, :], 1))
-    K = jnp.concatenate(chunks, axis=1)  # (nv, nefc, B)
-
-    def _Kf(f):  # (nefc, B) -> (nv, B)
-        acc = None
-        for r0 in range(0, nefc, C):
-            t = usum(K[:, r0 : r0 + C, :] * f[None, r0 : r0 + C, :], 1)
-            acc = t if acc is None else acc + t
-        return acc
-
-    def _Jv(v):  # (nv, B) -> (nefc, B)
-        return jnp.concatenate([usum(J[r0 : r0 + C] * v[None, :, :], 1) for r0 in range(0, nefc, C)], axis=0)
-
+    # NOTE on slicing style: `f[None, r0:r0+C]` lowers to a gather, which
+    # Mosaic rejects inside the fori_loop body ("Shape mismatch in input,
+    # indices and output"); `f[r0:r0+C][:, None]` is a plain lax.slice.
     def apply_A(f):
-        return _Jv(_Kf(f)) + reg * f
+        return j_vec_chunked(J, mat_vec_l(minv, jt_vec_chunked(J, f, C)), C) + reg * f
 
     def ob(mat, row_axis, col_axis):
         l1 = jnp.max(usum(jnp.abs(mat), row_axis), axis=0)  # (B,)
         linf = jnp.max(usum(jnp.abs(mat), col_axis), axis=0)
         return jnp.sqrt(jnp.maximum(l1 * linf, _MINVAL))
 
-    L = ob(J, 0, 1) * ob(K, 0, 1) + jnp.max(reg, axis=0)
+    # ||K||_1 / ||K||_inf accumulated over row chunks of K^T = M^-1 J^T,
+    # built by explicit rank-1 accumulation so the largest temp is (nv, C, B).
+    B_ = b.shape[-1]
+    row_abs_sum = jnp.zeros((nv, B_), dtype)  # sum_r |K[k, r]| per k
+    col_max = jnp.zeros(B_, dtype)  # max_r sum_k |K[k, r]|
+    for r0 in range(0, nefc, C):
+        Jc = J[r0 : r0 + C]  # (c, nv, B)
+        Kc = None  # (nv, c, B) = M^-1 J[r0:r0+C]^T
+        for k in range(nv):
+            t = minv[:, k, :][:, None, :] * Jc[:, k, :][None, :, :]
+            Kc = t if Kc is None else Kc + t
+        aK = jnp.abs(Kc)
+        row_abs_sum = row_abs_sum + usum(aK, 1)
+        col_max = jnp.maximum(col_max, jnp.max(usum(aK, 0), axis=0))
+    obK = jnp.sqrt(jnp.maximum(jnp.max(row_abs_sum, axis=0) * col_max, _MINVAL))
+
+    L = ob(J, 0, 1) * obK + jnp.max(reg, axis=0)
     step = 1.0 / jnp.maximum(L, _MINVAL)  # (B,)
 
     f0 = jnp.zeros_like(b) if f_warm is None else jnp.maximum(f_warm, 0.0)
@@ -344,7 +366,9 @@ def _distance_sensor_l(m: PhysicsModel, kin: LaneKin, body1: int, body2: int, cu
     """mjSENS_GEOMDIST in lanes (sensors._distance_sensor semantics)."""
     from judo_tpu.physics.lane_collision import _L_KERNELS
 
-    geom_size = _np(m.geom_size)
+    # python-float rows to avoid np.float64 promotion under x64 (see
+    # lane_collision.find_contacts_l)
+    geom_size = [[float(v) for v in row] for row in _np(m.geom_size)]
     dists = [jnp.full(kin.xpos[0].shape[-1], float(cutoff), kin.xpos[0].dtype)]
     for g1 in range(m.ngeom):
         if m.geom_bodyid[g1] != body1 and m.geom_bodyid[g1] != body2:
@@ -499,10 +523,10 @@ def step_l(
         J = rows.J * rows.active[:, None, :]
         aref = rows.aref * rows.active
         reg = jnp.where(rows.active > 0, rows.reg, 1.0)
-        b = usum(J * qacc_smooth[None, :, :], 1) - aref
+        b = j_vec_chunked(J, qacc_smooth) - aref
         iters = max(m.solver_iterations if solver_iterations is None else solver_iterations, 8)
         f = solve_dual_qp_l(J, minv, reg, b, iters, f_warm)
-        qacc = qacc_smooth + mat_vec_l(minv, usum(J * f[:, None, :], 0))
+        qacc = qacc_smooth + mat_vec_l(minv, jt_vec_chunked(J, f))
     else:
         f = jnp.zeros((0, qpos.shape[-1]), qpos.dtype)
         qacc = qacc_smooth

@@ -29,6 +29,13 @@ from judo_tpu.physics.solver import num_constraint_rows
 
 LANE_TILE = 128
 
+# XLA compiler options for any jit that closes over the Pallas step: the
+# fused contact step's live set peaks ~27 MB, above the 16 MB default
+# scoped-vmem budget XLA grants the enclosing fusion (v5e VMEM is 128 MB).
+# Pass to jax.jit(..., compiler_options=LANE_COMPILER_OPTIONS); the local
+# XLA_FLAGS env route aborts CPU-only client processes (unknown TPU flag).
+LANE_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": 65536}
+
 
 def lane_supported(m: PhysicsModel) -> bool:
     """True when every model feature is covered by the lanes step (same
@@ -96,6 +103,11 @@ def _build_pallas_step(m: PhysicsModel, iterations: int | None, interpret: bool)
             ctrl = jnp.zeros((1, B), dtype)
         if nefc == 0:
             f = jnp.zeros((1, B), dtype)
+        from jax.experimental.pallas import tpu as pltpu
+
+        # The contact-rich step's live set peaks above the 16 MB default
+        # scoped-vmem limit (leap_cube: ~27 MB); v5e VMEM is 128 MB, so lift
+        # the cap for this kernel rather than spilling stages through HBM.
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -103,6 +115,9 @@ def _build_pallas_step(m: PhysicsModel, iterations: int | None, interpret: bool)
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )(qpos, qvel, ctrl, f)
 
     return step_fn

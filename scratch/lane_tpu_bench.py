@@ -34,7 +34,9 @@ print(f"single step (B=128) p50 {np.median(ts)*1e3:.3f} ms", flush=True)
 print("finite:", [bool(jnp.all(jnp.isfinite(o))) for o in out], flush=True)
 
 # 2) full rollout R=320 T=100
-ro = jax.jit(lambda a,b,c: rollout_lanes(pm, a, b, c, backend="pallas"))
+from judo_tpu.physics.pallas_step import LANE_COMPILER_OPTIONS
+ro = jax.jit(lambda a,b,c: rollout_lanes(pm, a, b, c, backend="pallas"),
+             compiler_options=LANE_COMPILER_OPTIONS)
 t0=time.time()
 o = ro(jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(ctrl)); jax.block_until_ready(o.states)
 print(f"rollout compile {time.time()-t0:.1f}s", flush=True)
