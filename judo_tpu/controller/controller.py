@@ -117,8 +117,7 @@ class Controller:
             int(self.model.sensor_adr[i]) + k for i in self.trace_sensors for k in range(3)
         ]
 
-        self._solve_fn = None
-        self._solve_sig = None
+        self._solve_cache: dict[tuple, Any] = {}
         self._args_cache: dict[str, Any] = {}
         self.last_outputs: SolveOutputs | None = None
         self.traces: np.ndarray | None = None
@@ -172,7 +171,17 @@ class Controller:
 
     @property
     def num_timesteps(self) -> int:
-        return int(np.ceil(self.horizon / self.task.dt))
+        """Rollout length, bucketed UP to a multiple of 4 steps.
+
+        Bucketing quantizes the compiled-solve shape so a GUI horizon-slider
+        drag recompiles at most once per 4-step bucket instead of once per dt
+        (SURVEY §7: cache compiled solvers per bucketed shape). The planner
+        rolls out to the bucket edge — up to 3*dt beyond the requested
+        horizon, same direction as the reference's own ceil()
+        (judo/controller/controller.py:144-147)."""
+        # -1e-9: guard against float wobble (0.84/0.04 -> 21.000000000000004)
+        T = int(np.ceil(self.horizon / self.task.dt - 1e-9))
+        return 4 * int(np.ceil(T / 4))
 
     @property
     def rollout_times(self) -> np.ndarray:
@@ -246,7 +255,9 @@ class Controller:
             oc.num_nodes,
             bool(oc.use_noise_ramp),
             cc.spline_order,
-            float(cc.horizon),
+            # horizon enters as the BUCKETED rollout length (knot/rollout
+            # times are runtime args), so slider drags hit the solve cache
+            self.num_timesteps,
             int(cc.max_opt_iters),
             cc.action_normalizer,
             min(cc.max_num_traces, oc.num_rollouts),
@@ -276,8 +287,6 @@ class Controller:
         _backend = self._resolve_rollout_backend()
         lane_backend = {"lanes_pallas": "pallas", "lanes_xla": "xla"}.get(_backend)
         spot_policy = getattr(task, "policy", None) if uses_policy else None
-        spline_ts = jnp.asarray(self.spline_timesteps, dtype)
-        rollout_ts = jnp.asarray(self.rollout_times, dtype)
         ctrl_lo = jnp.asarray(task.actuator_ctrlrange[:, 0], dtype)
         ctrl_hi = jnp.asarray(task.actuator_ctrlrange[:, 1], dtype)
         num_trace_elites = min(self.max_num_traces, self.optimizer_cfg.num_rollouts)
@@ -304,6 +313,8 @@ class Controller:
             opt_params: Any,
             norm_params: dict,
             metadata: dict,
+            spline_ts: jnp.ndarray,  # (N,) knot offsets — runtime so equal-shape horizons share one compile
+            rollout_ts: jnp.ndarray,  # (T,) rollout time offsets
         ) -> tuple[SolverState, SolveOutputs]:
             new_times = time + spline_ts
             # resample the nominal spline at the shifted knot times (:219-221)
@@ -399,12 +410,23 @@ class Controller:
             return jax.jit(solve, compiler_options=LANE_COMPILER_OPTIONS)
         return jax.jit(solve)
 
+    _SOLVE_CACHE_MAX = 16
+
     def _get_solve(self):
+        """Compiled-solve LRU cache: one entry per shape signature, so
+        toggling a GUI knob back to a previous value never re-pays the
+        compile (SURVEY §7 recompile-management stance)."""
         sig = self._signature()
-        if sig != self._solve_sig:
-            self._solve_fn = self._build_solve()
-            self._solve_sig = sig
-        return self._solve_fn
+        fn = self._solve_cache.get(sig)
+        if fn is None:
+            fn = self._build_solve()
+            self._solve_cache[sig] = fn
+            while len(self._solve_cache) > self._SOLVE_CACHE_MAX:
+                self._solve_cache.pop(next(iter(self._solve_cache)))
+        else:  # refresh LRU order
+            self._solve_cache.pop(sig)
+            self._solve_cache[sig] = fn
+        return fn
 
     # --- normalizer plumbing ---
     def _norm_params(self) -> dict:
@@ -450,6 +472,17 @@ class Controller:
             cache["norm_params"] = jax.device_put(self._norm_params())
         return cache["task_params"], cache["opt_params"], cache["norm_params"]
 
+    def _device_times(self) -> tuple[Any, Any]:
+        """Device-resident (spline_ts, rollout_ts), re-uploaded only when the
+        horizon / node count / bucketed T change."""
+        cache = self._args_cache
+        key = (float(self.horizon), self.optimizer_cfg.num_nodes, self.num_timesteps)
+        if cache.get("times_fp") != key:
+            cache["times_fp"] = key
+            cache["spline_ts"] = jax.device_put(jnp.asarray(self.spline_timesteps, self.dtype))
+            cache["rollout_ts"] = jax.device_put(jnp.asarray(self.rollout_times, self.dtype))
+        return cache["spline_ts"], cache["rollout_ts"]
+
     # --- main entry points (reference API) ---
     def update_action(self) -> None:
         """One planning step (the hot path)."""
@@ -474,6 +507,7 @@ class Controller:
             opt_params,
             norm_params,
             device_meta,
+            *self._device_times(),
         )
         self.last_outputs = outputs
 

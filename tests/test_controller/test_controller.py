@@ -97,16 +97,46 @@ def test_solver_respecializes_on_shape_change():
     np.random.seed(0)
     c = make_controller("cartpole", "ps")
     c.update_action()
-    f1 = c._solve_fn
+    f1 = c._get_solve()
     c.optimizer_cfg.num_rollouts = 12
     c.update_action()
-    assert c._solve_fn is not f1
+    assert c._get_solve() is not f1
     assert c.rewards.shape == (12,)
     # value-only change must NOT respecialize
-    f2 = c._solve_fn
+    f2 = c._get_solve()
     c.optimizer_cfg.sigma = 0.3
     c.update_action()
-    assert c._solve_fn is f2
+    assert c._get_solve() is f2
+    # toggling BACK to a previous shape must hit the LRU cache, not recompile
+    c.optimizer_cfg.num_rollouts = 16
+    assert c._get_solve() is f1
+
+
+def test_horizon_bucketed_compile_cache():
+    """A horizon slider drag triggers <= 1 build per 4-step bucket, and
+    returning to a visited horizon reuses the cached solve (VERDICT r2 #7)."""
+    np.random.seed(0)
+    c = make_controller("cartpole", "ps")
+    builds = 0
+    orig = type(c)._build_solve
+
+    def counting_build(self):
+        nonlocal builds
+        builds += 1
+        return orig(self)
+
+    type(c)._build_solve = counting_build
+    try:
+        # cartpole dt = 0.04 -> T = ceil(h/0.04), bucket = 4 steps = 0.16 s
+        for h in np.arange(0.80, 1.12, 0.04):  # 8 drag positions, 3 buckets
+            c.controller_cfg.horizon = float(h)
+            c._get_solve()
+        assert builds <= 3, builds
+        c.controller_cfg.horizon = 0.80  # revisit: cache hit
+        c._get_solve()
+        assert builds <= 3, builds
+    finally:
+        type(c)._build_solve = orig
 
 
 def test_num_nodes_change_reinterps_state():
