@@ -1,3 +1,17 @@
-from judo_tpu.parallel.mesh import ROLLOUT_AXIS, make_rollout_mesh, replicated, rollout_sharding
+from judo_tpu.parallel.mesh import (
+    HOST_AXIS,
+    ROLLOUT_AXIS,
+    initialize_distributed,
+    make_rollout_mesh,
+    replicated,
+    rollout_sharding,
+)
 
-__all__ = ["ROLLOUT_AXIS", "make_rollout_mesh", "replicated", "rollout_sharding"]
+__all__ = [
+    "HOST_AXIS",
+    "ROLLOUT_AXIS",
+    "initialize_distributed",
+    "make_rollout_mesh",
+    "replicated",
+    "rollout_sharding",
+]

@@ -196,6 +196,96 @@ def _c(m: PhysicsModel, arr, dtype) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# tuple domain: quats as (w, x, y, z) and vectors as (x, y, z) PYTHON TUPLES
+# of (B,) arrays or plain floats.
+#
+# Why this exists: the kinematics tree recursion is a long SEQUENTIAL chain,
+# and in the stacked (4, B)/(3, B) representation every link goes
+# stack -> row-slice -> stack: each is a Mosaic sublane relayout whose latency
+# sits on the critical path (measured: the leap body loop alone was 235 us/step
+# in-kernel while the same arithmetic on plain (B,) registers costs ~2 us —
+# scratch/kin_bisect.py). In the tuple domain the chain is pure elementwise
+# arithmetic on lane registers; constants stay python floats so
+# constant x constant subexpressions fold at trace time. Values are stacked
+# into (3, B)/(4, B)/(3, 3, B) arrays ONCE at stage boundaries.
+# ---------------------------------------------------------------------------
+
+
+def tq_mul(u: tuple, v: tuple) -> tuple:
+    uw, ux, uy, uz = u
+    vw, vx, vy, vz = v
+    return (
+        uw * vw - ux * vx - uy * vy - uz * vz,
+        uw * vx + ux * vw + uy * vz - uz * vy,
+        uw * vy - ux * vz + uy * vw + uz * vx,
+        uw * vz + ux * vy - uy * vx + uz * vw,
+    )
+
+
+def tv_cross(a: tuple, b: tuple) -> tuple:
+    ax, ay, az = a
+    bx, by, bz = b
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def tv_add(a: tuple, b: tuple) -> tuple:
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def tv_sub(a: tuple, b: tuple) -> tuple:
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def tv_scale(s, v: tuple) -> tuple:
+    return (s * v[0], s * v[1], s * v[2])
+
+
+def tq_rotate(q: tuple, v: tuple) -> tuple:
+    """Rotate vector v by quat q: v + 2*(w*(u x v) + u x (u x v))."""
+    u = (q[1], q[2], q[3])
+    w = q[0]
+    uv = tv_cross(u, v)
+    uuv = tv_cross(u, uv)
+    return (
+        v[0] + 2.0 * (w * uv[0] + uuv[0]),
+        v[1] + 2.0 * (w * uv[1] + uuv[1]),
+        v[2] + 2.0 * (w * uv[2] + uuv[2]),
+    )
+
+
+def tq_normalize(q: tuple) -> tuple:
+    n = jax.lax.rsqrt(jnp.maximum(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3], _MINVAL))
+    return (q[0] * n, q[1] * n, q[2] * n, q[3] * n)
+
+
+def tq_to_mat9(q: tuple) -> tuple:
+    """Quat -> row-major 9-tuple of the rotation matrix."""
+    w, x, y, z = q
+    return (
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    )
+
+
+def _t_arr(c, B: int, dtype) -> jnp.ndarray:
+    """One tuple component -> (B,) array (floats become full-splats)."""
+    if isinstance(c, (int, float)):
+        return jnp.full(B, float(c), dtype)
+    return c
+
+
+def t_stackn(t: tuple, B: int, dtype) -> jnp.ndarray:
+    """(n-tuple of components) -> (n, B) array — a stage-boundary stack."""
+    return jnp.stack([_t_arr(c, B, dtype) for c in t])
+
+
+def t_stack33(t9: tuple, B: int, dtype) -> jnp.ndarray:
+    """(9-tuple, row-major) -> (3, 3, B) rotation matrix."""
+    return t_stackn(t9, B, dtype).reshape(3, 3, -1)
+
+
+# ---------------------------------------------------------------------------
 # kinematics
 # ---------------------------------------------------------------------------
 
@@ -215,7 +305,12 @@ class LaneKin(NamedTuple):
 
 
 def kinematics_l(m: PhysicsModel, qpos: jnp.ndarray) -> LaneKin:
-    """Forward kinematics, batch-last. Mirrors smooth.kinematics exactly."""
+    """Forward kinematics, batch-last. Mirrors smooth.kinematics exactly.
+
+    Internals run in the TUPLE domain (see the tq_*/tv_* helpers above): the
+    sequential parent->child chain is pure (B,)-register arithmetic with
+    python-float constants, no stacked-array relayouts; results are stacked
+    into the LaneKin layout once at the end."""
     dtype = qpos.dtype
     B = qpos.shape[-1]
     np_ = lambda a: np.asarray(jax.device_get(a), np.float64)  # noqa: E731
@@ -231,70 +326,75 @@ def kinematics_l(m: PhysicsModel, qpos: jnp.ndarray) -> LaneKin:
     site_pos = np_(m.site_pos)
     site_quat = np_(m.site_quat)
 
-    ones = jnp.ones(B, dtype)
-    zeros = jnp.zeros(B, dtype)
+    def f3(v) -> tuple:
+        return (float(v[0]), float(v[1]), float(v[2]))
 
-    def const3(v) -> jnp.ndarray:
-        return jnp.stack([jnp.full(B, float(v[0]), dtype), jnp.full(B, float(v[1]), dtype), jnp.full(B, float(v[2]), dtype)])
+    def f4(v) -> tuple:
+        return (float(v[0]), float(v[1]), float(v[2]), float(v[3]))
 
-    def const4(v) -> jnp.ndarray:
-        return jnp.stack([jnp.full(B, float(v[i]), dtype) for i in range(4)])
-
-    xpos = [v3(zeros, zeros, zeros)]
-    xquat = [jnp.stack([ones, zeros, zeros, zeros])]
-    xanchor: list = [None] * m.njnt
-    xaxis: list = [None] * m.njnt
+    xpos_t: list = [(0.0, 0.0, 0.0)]
+    xquat_t: list = [(1.0, 0.0, 0.0, 0.0)]
+    xanchor_t: list = [None] * m.njnt
+    xaxis_t: list = [None] * m.njnt
 
     for b in range(1, m.nbody):
         p = m.body_parentid[b]
-        pos = xpos[p] + l_quat_rotate(xquat[p], const3(body_pos[b]))
-        quat = l_quat_mul(xquat[p], const4(body_quat[b]))
+        pos = tv_add(xpos_t[p], tq_rotate(xquat_t[p], f3(body_pos[b])))
+        quat = tq_mul(xquat_t[p], f4(body_quat[b]))
         for k in range(m.body_jntnum[b]):
             j = m.body_jntadr[b] + k
             jt = m.jnt_type[j]
             qadr = m.jnt_qposadr[j]
-            anchor = l_quat_rotate(quat, const3(jnt_pos[j])) + pos
-            axis = l_quat_rotate(quat, const3(jnt_axis[j]))
+            anchor = tv_add(tq_rotate(quat, f3(jnt_pos[j])), pos)
+            axis = tq_rotate(quat, f3(jnt_axis[j]))
             if jt == FREE:
-                pos = qpos[qadr : qadr + 3]
-                quat = qpos[qadr + 3 : qadr + 7]
-                quat = quat / jnp.sqrt(jnp.maximum(usum(quat * quat, 0), _MINVAL))[None]
+                pos = (qpos[qadr], qpos[qadr + 1], qpos[qadr + 2])
+                quat = tq_normalize(
+                    (qpos[qadr + 3], qpos[qadr + 4], qpos[qadr + 5], qpos[qadr + 6])
+                )
                 anchor = pos
             elif jt == BALL:
-                qloc = qpos[qadr : qadr + 4]
-                qloc = qloc / jnp.sqrt(jnp.maximum(usum(qloc * qloc, 0), _MINVAL))[None]
-                quat = l_quat_mul(quat, qloc)
-                pos = anchor - l_quat_rotate(quat, const3(jnt_pos[j]))
+                qloc = tq_normalize(
+                    (qpos[qadr], qpos[qadr + 1], qpos[qadr + 2], qpos[qadr + 3])
+                )
+                quat = tq_mul(quat, qloc)
+                pos = tv_sub(anchor, tq_rotate(quat, f3(jnt_pos[j])))
             elif jt == SLIDE:
-                pos = pos + axis * (qpos[qadr] - float(qpos0[qadr]))[None]
+                pos = tv_add(pos, tv_scale(qpos[qadr] - float(qpos0[qadr]), axis))
             elif jt == HINGE:
-                angle = qpos[qadr] - float(qpos0[qadr])
-                half = 0.5 * angle
-                ax = const3(jnt_axis[j])
-                qloc = jnp.concatenate([jnp.cos(half)[None], ax * jnp.sin(half)[None]], axis=0)
-                quat = l_quat_mul(quat, qloc)
-                pos = anchor - l_quat_rotate(quat, const3(jnt_pos[j]))
-            xanchor[j] = anchor
-            xaxis[j] = l_quat_rotate(quat, const3(jnt_axis[j])) if jt in (BALL, HINGE) else axis
-        xpos.append(pos)
-        xquat.append(quat)
+                half = 0.5 * (qpos[qadr] - float(qpos0[qadr]))
+                s = jnp.sin(half)
+                ax = f3(jnt_axis[j])
+                qloc = (jnp.cos(half), ax[0] * s, ax[1] * s, ax[2] * s)
+                quat = tq_mul(quat, qloc)
+                pos = tv_sub(anchor, tq_rotate(quat, f3(jnt_pos[j])))
+            xanchor_t[j] = anchor
+            xaxis_t[j] = tq_rotate(quat, f3(jnt_axis[j])) if jt in (BALL, HINGE) else axis
+        xpos_t.append(pos)
+        xquat_t.append(quat)
 
-    xmat = [l_quat_to_mat(q) for q in xquat]
-    xipos = [xpos[b] + l_quat_rotate(xquat[b], const3(body_ipos[b])) for b in range(m.nbody)]
-    ximat = [l_quat_to_mat(l_quat_mul(xquat[b], const4(body_iquat[b]))) for b in range(m.nbody)]
+    xipos_t = [tv_add(xpos_t[b], tq_rotate(xquat_t[b], f3(body_ipos[b]))) for b in range(m.nbody)]
+    ximat_t = [tq_to_mat9(tq_mul(xquat_t[b], f4(body_iquat[b]))) for b in range(m.nbody)]
+
+    # stage boundary: stack tuples into the LaneKin array layout
+    xpos = [t_stackn(t, B, dtype) for t in xpos_t]
+    xquat = [t_stackn(t, B, dtype) for t in xquat_t]
+    xmat = [t_stack33(tq_to_mat9(t), B, dtype) for t in xquat_t]
+    xipos = [t_stackn(t, B, dtype) for t in xipos_t]
+    ximat = [t_stack33(t, B, dtype) for t in ximat_t]
+    xanchor = [t_stackn(t, B, dtype) for t in xanchor_t]
+    xaxis = [t_stackn(t, B, dtype) for t in xaxis_t]
 
     geom_xpos, geom_xmat = [], []
     for g in range(m.ngeom):
         b = m.geom_bodyid[g]
-        gq = l_quat_mul(xquat[b], const4(geom_quat[g]))
-        geom_xpos.append(xpos[b] + l_quat_rotate(xquat[b], const3(geom_pos[g])))
-        geom_xmat.append(l_quat_to_mat(gq))
+        geom_xpos.append(t_stackn(tv_add(xpos_t[b], tq_rotate(xquat_t[b], f3(geom_pos[g]))), B, dtype))
+        geom_xmat.append(t_stack33(tq_to_mat9(tq_mul(xquat_t[b], f4(geom_quat[g]))), B, dtype))
     site_xpos, site_xmat = [], []
     for t in range(m.nsite):
         b = m.site_bodyid[t]
-        sq = l_quat_mul(xquat[b], const4(site_quat[t]))
-        site_xpos.append(xpos[b] + l_quat_rotate(xquat[b], const3(site_pos[t])))
-        site_xmat.append(l_quat_to_mat(sq))
+        site_xpos.append(t_stackn(tv_add(xpos_t[b], tq_rotate(xquat_t[b], f3(site_pos[t]))), B, dtype))
+        site_xmat.append(t_stack33(tq_to_mat9(tq_mul(xquat_t[b], f4(site_quat[t]))), B, dtype))
 
     return LaneKin(xpos, xquat, xmat, xipos, ximat, xanchor, xaxis, geom_xpos, geom_xmat, site_xpos, site_xmat)
 

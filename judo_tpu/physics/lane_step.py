@@ -517,6 +517,13 @@ def step_l(
 
     has_contacts = m.contact_enabled and num_contact_slots(m) > 0
     nefc = num_constraint_rows(m)
+
+    # sensors BEFORE the solver: they only need kinematics + (qpos, qvel), and
+    # evaluating them here ends the live ranges of the per-body/geom frames
+    # before the APGD loop — the VMEM stack peak is the binding constraint on
+    # this kernel (measured 27 MB/tile at leap sizes)
+    sens = evaluate_sensors_l(m, kin, qpos, qvel)
+
     if nefc > 0:
         contacts = find_contacts_l(m, kin) if has_contacts else []
         rows = assemble_constraints_l(m, com, contacts, qpos, qvel)
@@ -530,8 +537,6 @@ def step_l(
     else:
         f = jnp.zeros((0, qpos.shape[-1]), qpos.dtype)
         qacc = qacc_smooth
-
-    sens = evaluate_sensors_l(m, kin, qpos, qvel)
 
     # implicit-in-velocity damping integration (step.step_with_forward)
     from judo_tpu.physics.lane_engine import const_col, eye_mask

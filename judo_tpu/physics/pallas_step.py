@@ -34,7 +34,7 @@ LANE_TILE = 128
 # scoped-vmem budget XLA grants the enclosing fusion (v5e VMEM is 128 MB).
 # Pass to jax.jit(..., compiler_options=LANE_COMPILER_OPTIONS); the local
 # XLA_FLAGS env route aborts CPU-only client processes (unknown TPU flag).
-LANE_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": 65536}
+LANE_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": 98304}
 
 
 def lane_supported(m: PhysicsModel) -> bool:

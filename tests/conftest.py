@@ -25,6 +25,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# CPU-only persistent compile cache for the test suite: solve compiles
+# dominate suite wall time (heaviest single test: 440 s, ~all compile).
+# Separate from the TPU cache dir on purpose — remote-compiled TPU
+# executables must never be reused by CPU processes (see judo_tpu/__init__).
+jax.config.update("jax_compilation_cache_dir", "/tmp/judo_tpu_xla_cache_cpu_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from contextlib import contextmanager  # noqa: E402
 from typing import Generator  # noqa: E402
 
