@@ -162,6 +162,7 @@ def build_leap_cube_xml(
     hand_pos: str = "0 0 0",
     cube_pos: str = "0.0 0.0 0.2",
     goal_pos: str = "-0.1 -0.1 0.3",
+    timestep: str = "0.01",
 ) -> str:
     """Full scene MJCF. Contact masks: cube contype=1/conaff=2, hand
     contype=2/conaff=1 — hand-cube pairs collide, hand-hand does not.
@@ -172,7 +173,7 @@ def build_leap_cube_xml(
     return f"""
 <mujoco model="leap_cube_tpu">
   <compiler angle="radian"/>
-  <option timestep="0.01" integrator="implicitfast" cone="elliptic" impratio="100"/>
+  <option timestep="{timestep}" integrator="implicitfast" cone="elliptic" impratio="100"/>
 
   <default>
     <geom solimp="0.99 0.999 0.01 0.001 1" solref="0.001 1" friction=".2"/>
@@ -239,6 +240,10 @@ _VARIANTS = {
         "cube_pos": "0.11 0.005 0.04",
         "goal_pos": "-0.1 -0.1 0.3",
     },
+    # higher-fidelity SIMULATION variant: the plant integrates at 2x the
+    # planner rate, so closed-loop runs exercise real planner-vs-plant model
+    # error (reference split: judo/tasks/leap_cube.py:14-15, leap_cube_sim.xml)
+    "leap_cube_sim": {"timestep": "0.005"},
 }
 
 

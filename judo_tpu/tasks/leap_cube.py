@@ -46,6 +46,11 @@ class LeapCube(Task[LeapCubeConfig]):
     config_t: type[LeapCubeConfig] = LeapCubeConfig
 
     def __init__(self, model_path: str | None = None, sim_model_path: str | None = None) -> None:
+        # planner plans on leap_cube.xml; the plant integrates the finer
+        # leap_cube_sim.xml (reference: judo/tasks/leap_cube.py:14-15) so
+        # closed-loop tests exercise planner-vs-plant model error
+        if model_path is None and sim_model_path is None:
+            sim_model_path = leap_cube_xml_path("leap_cube_sim")
         super().__init__(model_path=model_path or leap_cube_xml_path(), sim_model_path=sim_model_path)
         self.goal_pos = np.array([0.0, 0.03, 0.1])
         self.goal_quat = np.array([1.0, 0.0, 0.0, 0.0])
