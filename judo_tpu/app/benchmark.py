@@ -24,6 +24,8 @@ class BenchmarkResult:
     task: str
     optimizer: str
     times_s: np.ndarray
+    # mean per-stage split (prep/device/sync ms) from Controller.last_plan_timing
+    stages: dict | None = None
 
     @property
     def stats(self) -> dict[str, float]:
@@ -58,12 +60,24 @@ def run_benchmark(
             sim_node = SimulationNode(bus, task_name, backend=sim_backend)
             ctrl_node = ControllerNode(bus, task_name, opt_name)
             times = []
+            stage_sums = {"prep_ms": 0.0, "device_ms": 0.0, "sync_ms": 0.0}
+            n_staged = 0
             for i in range(warmup + num_samples):
                 sim_node.step_once()
                 plan_time = ctrl_node.step_once()
                 if i >= warmup and plan_time is not None:
                     times.append(plan_time)
-            results.append(BenchmarkResult(task_name, opt_name, np.asarray(times)))
+                    timing = ctrl_node.controller.last_plan_timing
+                    if timing is not None:
+                        for k in stage_sums:
+                            stage_sums[k] += timing[k]
+                        n_staged += 1
+            stages = (
+                {k: v / n_staged for k, v in stage_sums.items()} if n_staged else None
+            )
+            results.append(
+                BenchmarkResult(task_name, opt_name, np.asarray(times), stages=stages)
+            )
     return results
 
 

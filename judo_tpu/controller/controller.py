@@ -119,6 +119,7 @@ class Controller:
 
         self._solve_cache: dict[tuple, Any] = {}
         self._args_cache: dict[str, Any] = {}
+        self.last_plan_timing: dict[str, float] | None = None
         self.last_outputs: SolveOutputs | None = None
         self.traces: np.ndarray | None = None
         self.rewards = np.zeros(self.optimizer_cfg.num_rollouts)
@@ -485,7 +486,17 @@ class Controller:
 
     # --- main entry points (reference API) ---
     def update_action(self) -> None:
-        """One planning step (the hot path)."""
+        """One planning step (the hot path).
+
+        Per-stage timing is recorded in ``last_plan_timing`` (SURVEY §5.1: the
+        reference only has end-to-end plan_time telemetry; here the split is
+        prep [host arg staging] / device [dispatch + on-device solve] / sync
+        [device->host pull + spline rebuild] — the natural stage boundaries of
+        a fused jitted solve). Overhead: two perf_counter reads and one
+        block_until_ready the following device_get would pay anyway."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         assert self.current_state.shape == (self.model.nq + self.model.nv,)
         assert self.optimizer_cfg.num_rollouts > 0, "Need at least one rollout!"
         self._enforce_cubic_min_nodes()
@@ -499,6 +510,7 @@ class Controller:
 
         solve = self._get_solve()
         task_params, opt_params, norm_params = self._device_params()
+        t1 = _time.perf_counter()
         self._carry, outputs = solve(
             self._carry,
             jnp.asarray(self.current_state, self.dtype),
@@ -509,6 +521,8 @@ class Controller:
             device_meta,
             *self._device_times(),
         )
+        jax.block_until_ready(outputs.rewards)
+        t2 = _time.perf_counter()
         self.last_outputs = outputs
 
         self.task.post_rollout(
@@ -521,6 +535,13 @@ class Controller:
         )
         self.update_spline(self.times, self.nominal_knots)
         self.update_traces(outputs, traces)
+        t3 = _time.perf_counter()
+        self.last_plan_timing = {
+            "prep_ms": 1e3 * (t1 - t0),
+            "device_ms": 1e3 * (t2 - t1),
+            "sync_ms": 1e3 * (t3 - t2),
+            "total_ms": 1e3 * (t3 - t0),
+        }
 
     def action(self, time: float) -> np.ndarray:
         """Current best action (host-side spline query)."""

@@ -249,6 +249,7 @@ def solve_dual_qp_l(
     b: jnp.ndarray,  # (nefc, B)
     iterations: int,
     f_warm: jnp.ndarray | None,
+    lipschitz: str = "holder",
 ) -> jnp.ndarray:
     """min_{f>=0} 0.5 f^T (J M^-1 J^T + diag(reg)) f + f^T b, APGD in lanes.
 
@@ -278,28 +279,43 @@ def solve_dual_qp_l(
     def apply_A(f):
         return j_vec_chunked(J, mat_vec_l(minv, jt_vec_chunked(J, f, C)), C) + reg * f
 
-    def ob(mat, row_axis, col_axis):
-        l1 = jnp.max(usum(jnp.abs(mat), row_axis), axis=0)  # (B,)
-        linf = jnp.max(usum(jnp.abs(mat), col_axis), axis=0)
-        return jnp.sqrt(jnp.maximum(l1 * linf, _MINVAL))
+    if lipschitz == "power":
+        # ||A||_2 by 3 power iterations from a deterministic positive start:
+        # costs 3 apply_A (~3 APGD iterations) vs ~13 iterations' worth for
+        # the Hoelder-K norms below; x1.6 safety on the (from-below) Rayleigh
+        # estimate keeps the APGD step valid.
+        v = jnp.maximum(jnp.abs(b), 1e-3)
+        lam = jnp.ones(b.shape[-1], dtype)
+        for _ in range(3):
+            av = apply_A(v)
+            vv = jnp.maximum(usum(v * v, 0), _MINVAL)
+            lam = usum(v * av, 0) / vv  # Rayleigh quotient (PSD: <= lambda_max)
+            nrm = jax.lax.rsqrt(jnp.maximum(usum(av * av, 0), _MINVAL))
+            v = av * nrm[None]
+        L = 1.6 * jnp.maximum(lam, _MINVAL) + jnp.max(reg, axis=0)
+    else:  # "holder": the reference two-factor bound (always valid)
+        def ob(mat, row_axis, col_axis):
+            l1 = jnp.max(usum(jnp.abs(mat), row_axis), axis=0)  # (B,)
+            linf = jnp.max(usum(jnp.abs(mat), col_axis), axis=0)
+            return jnp.sqrt(jnp.maximum(l1 * linf, _MINVAL))
 
-    # ||K||_1 / ||K||_inf accumulated over row chunks of K^T = M^-1 J^T,
-    # built by explicit rank-1 accumulation so the largest temp is (nv, C, B).
-    B_ = b.shape[-1]
-    row_abs_sum = jnp.zeros((nv, B_), dtype)  # sum_r |K[k, r]| per k
-    col_max = jnp.zeros(B_, dtype)  # max_r sum_k |K[k, r]|
-    for r0 in range(0, nefc, C):
-        Jc = J[r0 : r0 + C]  # (c, nv, B)
-        Kc = None  # (nv, c, B) = M^-1 J[r0:r0+C]^T
-        for k in range(nv):
-            t = minv[:, k, :][:, None, :] * Jc[:, k, :][None, :, :]
-            Kc = t if Kc is None else Kc + t
-        aK = jnp.abs(Kc)
-        row_abs_sum = row_abs_sum + usum(aK, 1)
-        col_max = jnp.maximum(col_max, jnp.max(usum(aK, 0), axis=0))
-    obK = jnp.sqrt(jnp.maximum(jnp.max(row_abs_sum, axis=0) * col_max, _MINVAL))
+        # ||K||_1 / ||K||_inf accumulated over row chunks of K^T = M^-1 J^T,
+        # built by explicit rank-1 accumulation so the largest temp is (nv, C, B).
+        B_ = b.shape[-1]
+        row_abs_sum = jnp.zeros((nv, B_), dtype)  # sum_r |K[k, r]| per k
+        col_max = jnp.zeros(B_, dtype)  # max_r sum_k |K[k, r]|
+        for r0 in range(0, nefc, C):
+            Jc = J[r0 : r0 + C]  # (c, nv, B)
+            Kc = None  # (nv, c, B) = M^-1 J[r0:r0+C]^T
+            for k in range(nv):
+                t = minv[:, k, :][:, None, :] * Jc[:, k, :][None, :, :]
+                Kc = t if Kc is None else Kc + t
+            aK = jnp.abs(Kc)
+            row_abs_sum = row_abs_sum + usum(aK, 1)
+            col_max = jnp.maximum(col_max, jnp.max(usum(aK, 0), axis=0))
+        obK = jnp.sqrt(jnp.maximum(jnp.max(row_abs_sum, axis=0) * col_max, _MINVAL))
 
-    L = ob(J, 0, 1) * obK + jnp.max(reg, axis=0)
+        L = ob(J, 0, 1) * obK + jnp.max(reg, axis=0)
     step = 1.0 / jnp.maximum(L, _MINVAL)  # (B,)
 
     f0 = jnp.zeros_like(b) if f_warm is None else jnp.maximum(f_warm, 0.0)
@@ -499,6 +515,7 @@ def step_l(
     ctrl: jnp.ndarray,  # (nu, B)
     f_warm: jnp.ndarray | None = None,  # (nefc, B)
     solver_iterations: int | None = None,
+    lipschitz: str = "holder",
 ) -> LaneStepOut:
     """One mj_step, batch-last — semantics of step.step_with_forward with
     exact per-step inverses (cold path)."""
@@ -532,7 +549,7 @@ def step_l(
         reg = jnp.where(rows.active > 0, rows.reg, 1.0)
         b = j_vec_chunked(J, qacc_smooth) - aref
         iters = max(m.solver_iterations if solver_iterations is None else solver_iterations, 8)
-        f = solve_dual_qp_l(J, minv, reg, b, iters, f_warm)
+        f = solve_dual_qp_l(J, minv, reg, b, iters, f_warm, lipschitz)
         qacc = qacc_smooth + mat_vec_l(minv, jt_vec_chunked(J, f))
     else:
         f = jnp.zeros((0, qpos.shape[-1]), qpos.dtype)

@@ -53,7 +53,7 @@ def lane_supported(m: PhysicsModel) -> bool:
     return True
 
 
-def _build_pallas_step(m: PhysicsModel, iterations: int | None, interpret: bool):
+def _build_pallas_step(m: PhysicsModel, iterations: int | None, interpret: bool, lipschitz: str = "holder"):
     """Pallas step builder for one model (cheap closure construction; the
     expensive tracing/compilation is cached by the caller's jit)."""
     from jax.experimental import pallas as pl
@@ -69,6 +69,7 @@ def _build_pallas_step(m: PhysicsModel, iterations: int | None, interpret: bool)
             ctrl_ref[:],
             f_ref[:] if nefc else None,
             solver_iterations=iterations,
+            lipschitz=lipschitz,
         )
         oq_ref[:] = out.qpos
         ov_ref[:] = out.qvel
@@ -123,12 +124,12 @@ def _build_pallas_step(m: PhysicsModel, iterations: int | None, interpret: bool)
     return step_fn
 
 
-def _xla_step_fn(m: PhysicsModel, iterations: int | None):
+def _xla_step_fn(m: PhysicsModel, iterations: int | None, lipschitz: str = "holder"):
     nefc = num_constraint_rows(m)
     ns = m.nsensordata
 
     def step_fn(qpos, qvel, ctrl, f):
-        out = step_l(m, qpos, qvel, ctrl, f if nefc else None, solver_iterations=iterations)
+        out = step_l(m, qpos, qvel, ctrl, f if nefc else None, solver_iterations=iterations, lipschitz=lipschitz)
         B = qpos.shape[-1]
         sens = out.sensordata if ns else jnp.zeros((1, B), qpos.dtype)
         fo = out.efc_force if nefc else jnp.zeros((1, B), qpos.dtype)
@@ -150,6 +151,7 @@ def rollout_lanes(
     physics_substeps: int = 1,
     iterations: int | None = None,
     backend: str = "pallas",
+    lipschitz: str = "holder",
 ) -> LaneRolloutOutput:
     """Batched rollout in the lanes formulation (states batch-first at the
     API boundary; one transpose each way per solve).
@@ -171,11 +173,11 @@ def rollout_lanes(
     ct = jnp.transpose(ct, (1, 2, 0))  # (T, nu, B)
 
     if backend == "pallas":
-        step_fn = _build_pallas_step(m, iterations, interpret=False)
+        step_fn = _build_pallas_step(m, iterations, interpret=False, lipschitz=lipschitz)
     elif backend == "interpret":
-        step_fn = _build_pallas_step(m, iterations, interpret=True)
+        step_fn = _build_pallas_step(m, iterations, interpret=True, lipschitz=lipschitz)
     elif backend == "xla":
-        step_fn = _xla_step_fn(m, iterations)
+        step_fn = _xla_step_fn(m, iterations, lipschitz=lipschitz)
     else:  # pragma: no cover
         raise ValueError(f"unknown lane backend {backend!r}")
 

@@ -14,7 +14,7 @@ qvel = np.zeros((R, pm.nv), np.float32)
 ctrl = (np.asarray(QPOS_HOME[7:], np.float32) + 0.05 * rng.standard_normal((R, T, 16))).astype(np.float32)
 qp, qv, ct = jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(ctrl)
 
-for tile in (384, 128):
+for tile in (384, 192, 128):
     ps.LANE_TILE = tile
     ro = jax.jit(lambda a, b, c: ps.rollout_lanes(pm, a, b, c, iterations=8, backend="pallas"),
                  compiler_options=ps.LANE_COMPILER_OPTIONS)

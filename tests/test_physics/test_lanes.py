@@ -112,3 +112,19 @@ def test_controller_lanes_backend_matches_vmap():
 
     np.testing.assert_allclose(rewards["lanes_xla"], rewards["vmap"], rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(knots["lanes_xla"], knots["vmap"], atol=1e-3)
+
+
+def test_lanes_power_lipschitz_matches_holder():
+    """The power-iteration Lipschitz estimate (1.6x Rayleigh safety) must
+    give the same converged contact forces as the always-valid Hoelder bound
+    on a contact-rich scene."""
+    mj = mujoco.MjModel.from_xml_string(SPHERE_PLANE)
+    pm = put_model(mj, dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    qp, qv, ct = _batch(mj, R=4, T=60, rng=rng, qpos0=[0, 0, 0.25, 1, 0, 0, 0], qvel_scale=0.4)
+
+    hold = jax.jit(lambda a, b, c: rollout_lanes(pm, a, b, c, backend="xla"))(qp, qv, ct)
+    pwr = jax.jit(lambda a, b, c: rollout_lanes(pm, a, b, c, backend="xla", lipschitz="power"))(qp, qv, ct)
+
+    assert bool(jnp.all(jnp.isfinite(pwr.states)))
+    np.testing.assert_allclose(np.asarray(pwr.states), np.asarray(hold.states), atol=2e-5)
