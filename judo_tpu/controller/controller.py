@@ -263,6 +263,11 @@ class Controller:
             cc.action_normalizer,
             min(cc.max_num_traces, oc.num_rollouts),
             self._resolve_rollout_backend(),
+            # remaining trace-time captured values, so LRU-cached closures can
+            # never go stale when a knob cycles A->B->A with these changed
+            int(self.task.physics_substeps),
+            bool(self.task.uses_locomotion_policy),
+            hash(np.asarray(self.task.actuator_ctrlrange).tobytes()),
             extra,
         )
 

@@ -240,10 +240,10 @@ _VARIANTS = {
         "cube_pos": "0.11 0.005 0.04",
         "goal_pos": "-0.1 -0.1 0.3",
     },
-    # higher-fidelity SIMULATION variant: the plant integrates at 2x the
-    # planner rate, so closed-loop runs exercise real planner-vs-plant model
-    # error (reference split: judo/tasks/leap_cube.py:14-15, leap_cube_sim.xml)
-    "leap_cube_sim": {"timestep": "0.005"},
+    # higher-fidelity SIMULATION variant: the plant integrates at 5x the
+    # planner rate (0.002 vs 0.01), matching the reference's fidelity split
+    # (judo/tasks/leap_cube.py:14-15, leap_components/params_and_default_sim.xml)
+    "leap_cube_sim": {"timestep": "0.002"},
 }
 
 

@@ -62,14 +62,20 @@ def initialize_distributed(
             except RuntimeError:  # already initialized
                 pass
         return
+    if num_processes is not None and coordinator_address is None:
+        raise ValueError(
+            "initialize_distributed: num_processes given without a "
+            "coordinator_address (argument or JAX_COORDINATOR_ADDRESS env)."
+        )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:  # already initialized
-        pass
+    except RuntimeError as e:  # swallow only double-init; surface real failures
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def make_rollout_mesh(

@@ -68,9 +68,14 @@ def box_box(pos1, mat1, size1, pos2, mat2, size2) -> PairContacts:
     proj1 = jnp.sum(size1 * jnp.abs(axes_n @ mat1), axis=1)  # (15,)
     proj2 = jnp.sum(size2 * jnp.abs(axes_n @ mat2), axis=1)
     sep = jnp.abs(axes_n @ d) - proj1 - proj2  # (15,) negative = overlapping
-    # Edge axes get a tiny penalty so face axes win ties (standard SAT practice)
+    # Edge axes get a tiny penalty so face axes win ties (standard SAT
+    # practice). The selection is argmax (LEAST penetration wins), so the
+    # penalty must be SUBTRACTED from the edge axes' score — with a bonus
+    # instead, an edge-edge cross product parallel to a face normal (exactly
+    # the axis-aligned resting-contact case) would beat the face axis and
+    # collapse the 4-point manifold to a single edge point.
     bias = jnp.concatenate([jnp.zeros(6, dtype), jnp.full((9,), 1e-6, dtype)])
-    score = jnp.where(valid, sep + bias, -jnp.inf)
+    score = jnp.where(valid, sep - bias, -jnp.inf)
     best = jnp.argmax(score)  # axis with LEAST penetration (max of negatives)
     dist = jnp.max(jnp.where(valid, sep, -jnp.inf))  # true max separation
     oh_best = _onehot_eq(15, best, dtype)  # (15,)

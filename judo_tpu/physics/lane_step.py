@@ -198,11 +198,17 @@ def assemble_constraints_l(
             rows_reg.append((1.0 - imp) / jnp.maximum(imp, _MINIMP) * float(dof_invweight0[dadr]))
             rows_active.append((dist < float(jnt_margin[j])).astype(dtype))
 
-    # --- contacts: pyramidal facets ---
+    # --- contacts: pyramidal facets, or elliptic rows in GROUPED layout
+    # ([all normals | all t1 | all t2] — contiguous blocks so the in-kernel
+    # SOC projection is three static slices; mirrors solver.assemble_constraints)
     if contacts:
         CD = jnp.stack(com.cdof)  # (nv, 6, B)
         ANG = CD[:, :3, :]
         LIN = CD[:, 3:, :]
+        ell_J: list = [[], [], []]  # grouped: normals / t1 / t2
+        ell_aref: list = [[], [], []]
+        ell_reg: list = [[], [], []]
+        ell_active: list = [[], [], []]
         for c in contacts:
             c: LaneContact
             arm1 = c.pos - com.root_com[c.body1]  # (3, B)
@@ -222,15 +228,37 @@ def assemble_constraints_l(
             k, b = kb_from_solref_np(c.solref, c.solimp, ts)
             mu = c.friction
             inv_w = float(body_invweight0[c.body1, 0] + body_invweight0[c.body2, 0])
-            diag_approx = max(2.0 * inv_w * mu * mu * (1.0 + mu * mu), _MINVAL)
-            reg = (1.0 - imp) / jnp.maximum(imp, _MINIMP) * diag_approx
             active = (c.dist < c.includemargin).astype(dtype)
-            for row in (n_row + mu * t1_row, n_row - mu * t1_row, n_row + mu * t2_row, n_row - mu * t2_row):
-                vel = usum(row * qvel, 0)
-                rows_J.append(row)
-                rows_aref.append(-b * vel - k * imp * pos)
-                rows_reg.append(reg)
-                rows_active.append(active)
+            if m.cone_pyramidal:
+                diag_approx = max(2.0 * inv_w * mu * mu * (1.0 + mu * mu), _MINVAL)
+                reg = (1.0 - imp) / jnp.maximum(imp, _MINIMP) * diag_approx
+                for row in (n_row + mu * t1_row, n_row - mu * t1_row, n_row + mu * t2_row, n_row - mu * t2_row):
+                    vel = usum(row * qvel, 0)
+                    rows_J.append(row)
+                    rows_aref.append(-b * vel - k * imp * pos)
+                    rows_reg.append(reg)
+                    rows_active.append(active)
+            else:
+                # elliptic: friction rows have pos=0 / K=0, share the normal
+                # row's impedance, and R is divided by impratio (semantics
+                # verified vs CPU MuJoCo efc_*; see solver.py docstring)
+                reg_n = (1.0 - imp) / jnp.maximum(imp, _MINIMP) * max(inv_w, _MINVAL)
+                reg_t = reg_n / float(_np(m.impratio))
+                for g, (row, rg) in enumerate(
+                    ((n_row, reg_n), (t1_row, reg_t), (t2_row, reg_t))
+                ):
+                    vel = usum(row * qvel, 0)
+                    aref = -b * vel - k * imp * pos if g == 0 else -b * vel
+                    ell_J[g].append(row)
+                    ell_aref[g].append(aref)
+                    ell_reg[g].append(rg)
+                    ell_active[g].append(active)
+        if not m.cone_pyramidal:
+            for g in range(3):
+                rows_J.extend(ell_J[g])
+                rows_aref.extend(ell_aref[g])
+                rows_reg.extend(ell_reg[g])
+                rows_active.extend(ell_active[g])
 
     if not rows_J:
         return None
@@ -250,8 +278,16 @@ def solve_dual_qp_l(
     iterations: int,
     f_warm: jnp.ndarray | None,
     lipschitz: str = "holder",
+    ncon_start: int = 0,
+    mus: list | None = None,
 ) -> jnp.ndarray:
-    """min_{f>=0} 0.5 f^T (J M^-1 J^T + diag(reg)) f + f^T b, APGD in lanes.
+    """min_{f in K} 0.5 f^T (J M^-1 J^T + diag(reg)) f + f^T b, APGD in lanes.
+
+    K is the nonnegative orthant (pyramidal cone / no contacts) or, when
+    ``mus`` (static per-contact friction list) is given, the product of
+    per-contact second-order cones {||f_t|| <= mu f_n} over the GROUPED
+    elliptic rows [normals | t1s | t2s] starting at ``ncon_start`` — the
+    projection is three static slices + elementwise math (Mosaic-safe).
 
     Matches solver.solve_dual_qp_matfree: K = M^-1 J^T is materialized (in
     nefc-chunks to bound intermediate size) so the Lipschitz constant is the
@@ -279,19 +315,46 @@ def solve_dual_qp_l(
     def apply_A(f):
         return j_vec_chunked(J, mat_vec_l(minv, jt_vec_chunked(J, f, C)), C) + reg * f
 
+    if mus:
+        from judo_tpu.physics.lane_engine import const_col
+
+        nc = len(mus)
+        mu_c = const_col(mus, dtype)  # (C, 1)
+
+        def project(z):
+            zn = jnp.maximum(z[:ncon_start], 0.0)
+            n = z[ncon_start : ncon_start + nc]
+            t1 = z[ncon_start + nc : ncon_start + 2 * nc]
+            t2 = z[ncon_start + 2 * nc :]
+            s = jnp.sqrt(t1 * t1 + t2 * t2)
+            inside = s <= mu_c * n
+            polar = mu_c * s <= -n  # projection is the origin
+            a = (mu_c * s + n) / (1.0 + mu_c * mu_c)
+            coef = mu_c * a / jnp.maximum(s, _MINVAL)
+            n_out = jnp.where(inside, n, jnp.where(polar, 0.0, a))
+            t_scale = jnp.where(inside, 1.0, jnp.where(polar, 0.0, coef))
+            return jnp.concatenate([zn, n_out, t1 * t_scale, t2 * t_scale], axis=0)
+    else:
+
+        def project(z):
+            return jnp.maximum(z, 0.0)
+
     if lipschitz == "power":
         # ||A||_2 by 3 power iterations from a deterministic positive start:
         # costs 3 apply_A (~3 APGD iterations) vs ~13 iterations' worth for
-        # the Hoelder-K norms below; x1.6 safety on the (from-below) Rayleigh
-        # estimate keeps the APGD step valid.
+        # the Hoelder-K norms below. The estimate is the norm ratio
+        # ||A v|| / ||v|| (PSD: >= Rayleigh quotient, <= lambda_max — the
+        # tightest from-below value the iteration yields), with x1.6 safety
+        # so a small eigengap can't push the APGD step size over 1/L
+        # (ADVICE r3); reg's max is added on top (always-valid diagonal part).
         v = jnp.maximum(jnp.abs(b), 1e-3)
         lam = jnp.ones(b.shape[-1], dtype)
         for _ in range(3):
             av = apply_A(v)
-            vv = jnp.maximum(usum(v * v, 0), _MINVAL)
-            lam = usum(v * av, 0) / vv  # Rayleigh quotient (PSD: <= lambda_max)
-            nrm = jax.lax.rsqrt(jnp.maximum(usum(av * av, 0), _MINVAL))
-            v = av * nrm[None]
+            nrm_av = jnp.sqrt(jnp.maximum(usum(av * av, 0), _MINVAL))
+            nrm_v = jnp.sqrt(jnp.maximum(usum(v * v, 0), _MINVAL))
+            lam = nrm_av / nrm_v  # ||Av||/||v|| <= lambda_max for PSD A
+            v = av / nrm_av[None]
         L = 1.6 * jnp.maximum(lam, _MINVAL) + jnp.max(reg, axis=0)
     else:  # "holder": the reference two-factor bound (always valid)
         def ob(mat, row_axis, col_axis):
@@ -318,12 +381,12 @@ def solve_dual_qp_l(
         L = ob(J, 0, 1) * obK + jnp.max(reg, axis=0)
     step = 1.0 / jnp.maximum(L, _MINVAL)  # (B,)
 
-    f0 = jnp.zeros_like(b) if f_warm is None else jnp.maximum(f_warm, 0.0)
+    f0 = jnp.zeros_like(b) if f_warm is None else project(f_warm)
 
     def body(_, carry):
         f, y, t = carry
         grad = apply_A(y) + b
-        f_new = jnp.maximum(y - step[None] * grad, 0.0)
+        f_new = project(y - step[None] * grad)
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         y_new = f_new + ((t - 1.0) / t_new)[None] * (f_new - f)
         restart = usum(grad * (f_new - f), 0) > 0  # (B,)
@@ -549,7 +612,13 @@ def step_l(
         reg = jnp.where(rows.active > 0, rows.reg, 1.0)
         b = j_vec_chunked(J, qacc_smooth) - aref
         iters = max(m.solver_iterations if solver_iterations is None else solver_iterations, 8)
-        f = solve_dual_qp_l(J, minv, reg, b, iters, f_warm, lipschitz)
+        from judo_tpu.physics.solver import num_noncontact_rows
+
+        mus = None if m.cone_pyramidal else [c.friction for c in contacts]
+        f = solve_dual_qp_l(
+            J, minv, reg, b, iters, f_warm, lipschitz,
+            ncon_start=num_noncontact_rows(m), mus=mus,
+        )
         qacc = qacc_smooth + mat_vec_l(minv, jt_vec_chunked(J, f))
     else:
         f = jnp.zeros((0, qpos.shape[-1]), qpos.dtype)

@@ -138,6 +138,113 @@ def _xla_step_fn(m: PhysicsModel, iterations: int | None, lipschitz: str = "hold
     return step_fn
 
 
+def _build_fused_rollout(
+    m: PhysicsModel,
+    T: int,
+    substeps: int,
+    iterations: int | None,
+    interpret: bool,
+    lipschitz: str = "holder",
+):
+    """The WHOLE rollout as one ``pallas_call``.
+
+    Grid = (batch_tiles, T) with T innermost: for each 128-lane batch tile the
+    kernel body (one physics step x substeps) runs T sequential grid steps,
+    carrying (qpos, qvel, efc warm-start) in VMEM scratch between them.
+    Controls stream in per-step blocks from HBM; per-step states/sensors
+    stream out. Versus scan(pallas_call) this removes the per-step kernel
+    launch + HBM carry round-trip entirely — measured ~60% of rollout wall
+    time at leap_cube sizes (VERDICT r3; scratch/r4_prof.py) — and XLA sees a
+    single opaque op for the whole rollout, which also slashes compile time.
+
+    Replaces: the reference's per-candidate rollout thread loop
+    (judo/utils/mj_rollout_backend.py:84, system_class.cpp:272-331).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nefc = num_constraint_rows(m)
+    nq, nv, nu, ns = m.nq, m.nv, m.nu, m.nsensordata
+    nefc_ = max(nefc, 1)
+    nu_ = max(nu, 1)
+    ns_ = max(ns, 1)
+
+    def kernel(qpos_ref, qvel_ref, ctrl_ref, oq_ref, ov_ref, os_ref, qp_s, qv_s, f_s):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():  # new batch tile: load the initial state, cold warm-start
+            qp_s[:] = qpos_ref[:]
+            qv_s[:] = qvel_ref[:]
+            f_s[:] = jnp.zeros_like(f_s)
+
+        qp, qv, f = qp_s[:], qv_s[:], f_s[:]
+        ctrl = ctrl_ref[0]
+        sens = None
+        for _ in range(substeps):
+            out = step_l(
+                m, qp, qv, ctrl,
+                f if nefc else None,
+                solver_iterations=iterations,
+                lipschitz=lipschitz,
+            )
+            qp, qv, sens = out.qpos, out.qvel, out.sensordata
+            f = out.efc_force if nefc else f
+        qp_s[:] = qp
+        qv_s[:] = qv
+        f_s[:] = f
+        oq_ref[0] = qp
+        ov_ref[0] = qv
+        os_ref[0] = sens if ns else jnp.zeros_like(os_ref[0])
+
+    def rollout_fn(qpos, qvel, ctrl):
+        """(nq, B), (nv, B), (T, nu_, B) -> ((T, nq, B), (T, nv, B), (T, ns_, B))."""
+        B = qpos.shape[-1]
+        assert B % LANE_TILE == 0, f"lane batch {B} must be a multiple of {LANE_TILE}"
+        dtype = qpos.dtype
+        grid = (B // LANE_TILE, T)
+        in_specs = [
+            pl.BlockSpec((nq, LANE_TILE), lambda i, t: (0, i)),
+            pl.BlockSpec((nv, LANE_TILE), lambda i, t: (0, i)),
+            pl.BlockSpec((1, nu_, LANE_TILE), lambda i, t: (t, 0, i)),
+        ]
+        out_specs = (
+            pl.BlockSpec((1, nq, LANE_TILE), lambda i, t: (t, 0, i)),
+            pl.BlockSpec((1, nv, LANE_TILE), lambda i, t: (t, 0, i)),
+            pl.BlockSpec((1, ns_, LANE_TILE), lambda i, t: (t, 0, i)),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((T, nq, B), dtype),
+            jax.ShapeDtypeStruct((T, nv, B), dtype),
+            jax.ShapeDtypeStruct((T, ns_, B), dtype),
+        )
+        scratch_shapes = [
+            pltpu.VMEM((nq, LANE_TILE), dtype),
+            pltpu.VMEM((nv, LANE_TILE), dtype),
+            pltpu.VMEM((nefc_, LANE_TILE), dtype),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                # T-carry in scratch requires sequential grid traversal
+                dimension_semantics=(
+                    pltpu.GridDimensionSemantics.ARBITRARY,
+                    pltpu.GridDimensionSemantics.ARBITRARY,
+                ),
+                # contact-rich step live set peaks ~27 MB/tile (v5e VMEM: 128)
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(qpos, qvel, ctrl)
+
+    return rollout_fn
+
+
 class LaneRolloutOutput(NamedTuple):
     states: jnp.ndarray  # (R, T, nq + nv)
     sensordata: jnp.ndarray  # (R, T, nsensordata)
@@ -172,25 +279,30 @@ def rollout_lanes(
     ct = jnp.concatenate([controls, jnp.repeat(controls[-1:], pad, axis=0)], axis=0)
     ct = jnp.transpose(ct, (1, 2, 0))  # (T, nu, B)
 
-    if backend == "pallas":
-        step_fn = _build_pallas_step(m, iterations, interpret=False, lipschitz=lipschitz)
-    elif backend == "interpret":
-        step_fn = _build_pallas_step(m, iterations, interpret=True, lipschitz=lipschitz)
+    if backend in ("pallas", "interpret"):
+        # fused path: the whole T-rollout is ONE kernel (see _build_fused_rollout)
+        if m.nu == 0:
+            ct = jnp.zeros((T, 1, B), dtype)
+        roll = _build_fused_rollout(
+            m, T, physics_substeps, iterations,
+            interpret=(backend == "interpret"), lipschitz=lipschitz,
+        )
+        qps, qvs, senss = roll(qp, qv, ct)
     elif backend == "xla":
         step_fn = _xla_step_fn(m, iterations, lipschitz=lipschitz)
+        f0 = jnp.zeros((max(nefc, 1), B), dtype)
+
+        def body(carry, ctrl_t):
+            qp, qv, f = carry
+            sens = None
+            for _ in range(physics_substeps):
+                qp, qv, sens, f = step_fn(qp, qv, ctrl_t, f)
+            return (qp, qv, f), (qp, qv, sens)
+
+        (_, _, _), (qps, qvs, senss) = jax.lax.scan(body, (qp, qv, f0), ct)
     else:  # pragma: no cover
         raise ValueError(f"unknown lane backend {backend!r}")
 
-    f0 = jnp.zeros((max(nefc, 1), B), dtype)
-
-    def body(carry, ctrl_t):
-        qp, qv, f = carry
-        sens = None
-        for _ in range(physics_substeps):
-            qp, qv, sens, f = step_fn(qp, qv, ctrl_t, f)
-        return (qp, qv, f), (qp, qv, sens)
-
-    (_, _, _), (qps, qvs, senss) = jax.lax.scan(body, (qp, qv, f0), ct)
     states = jnp.concatenate([qps, qvs], axis=1)  # (T, nq+nv, B)
     states = jnp.transpose(states, (2, 0, 1))[:R]  # (R, T, nq+nv)
     senss = jnp.transpose(senss, (2, 0, 1))[:R, :, : max(ns, 1)]

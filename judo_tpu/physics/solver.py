@@ -1,15 +1,30 @@
 """Constraint assembly and the contact/limit solver.
 
 Implements MuJoCo's soft-constraint model (impedance d(r), reference
-acceleration aref = -b*vel - k*d*pos, regularizer R = (1-d)/d * diagA) with a
-pyramidal friction cone, and solves the dual box-constrained QP
+acceleration aref = -b*vel - k*d*pos, regularizer R = (1-d)/d * diagA) with
+BOTH friction-cone formulations, selected by the model's ``cone`` option:
 
-    min_{f >= 0}  0.5 f^T (A + R) f + f^T (J qacc_smooth - aref),
+- pyramidal (MuJoCo default): 4 facet rows per condim-3 contact, dual
+  constraint f >= 0 elementwise;
+- elliptic (leap/fr3 scenes declare ``cone="elliptic" impratio="100"``):
+  3 rows per contact (normal, t1, t2), dual constraint ||f_t|| <= mu * f_n
+  (second-order cone). Row semantics verified against CPU MuJoCo's efc_*
+  arrays: the friction rows carry pos=0 and K=0 (aref = -B*vel only), share
+  the normal row's impedance, diag_approx is the bodies' invweight0 sum, and
+  the friction rows' regularizer is divided by impratio (which stiffens
+  friction without changing the slip threshold mu*N — verified empirically).
+
+Either way the dual cone-projected QP
+
+    min_{f in K}  0.5 f^T (A + R) f + f^T (J qacc_smooth - aref),
     A = J M^-1 J^T
 
-with fixed-iteration accelerated projected gradient descent (APGD). Unlike
-sequential Gauss-Seidel sweeps, every APGD iteration is a dense matvec —
-the formulation that vectorizes across the rollout batch on TPU.
+is solved with fixed-iteration accelerated projected gradient descent (APGD);
+the SOC projection per elliptic triplet costs a handful of elementwise ops.
+Unlike sequential Gauss-Seidel sweeps, every APGD iteration is a dense
+matvec — the formulation that vectorizes across the rollout batch on TPU.
+Elliptic is also the cheaper formulation on TPU: 3 rows/contact instead of 4
+(25% less APGD matvec work on the leap scene).
 
 Assembly is fully vectorized over the (static-size) contact set: the per-row
 Jacobians, impedances and regularizers are computed as batched tensor ops, so
@@ -160,7 +175,7 @@ def assemble_constraints(
         )
         blocks_active.append((dist < margin).astype(dtype))
 
-    # --- contacts: pyramidal facets, vectorized over all slots ---
+    # --- contacts: pyramidal facets or elliptic triplets, vectorized ---
     ncon = contacts.dist.shape[0]
     if ncon:
         b1 = np.asarray(contacts.body1, np.int32)
@@ -191,32 +206,50 @@ def assemble_constraints(
         rows3 = jnp.einsum("cfk,cvk->cfv", contacts.frame, jac)
         n_row, t1_row, t2_row = rows3[:, 0], rows3[:, 1], rows3[:, 2]
 
-        mu = contacts.friction[:, None]  # (C, 1)
-        # pyramid: [n+mu t1, n-mu t1, n+mu t2, n-mu t2] -> (C, 4, nv)
-        pyr = jnp.stack(
-            [
-                n_row + mu * t1_row,
-                n_row - mu * t1_row,
-                n_row + mu * t2_row,
-                n_row - mu * t2_row,
-            ],
-            axis=1,
-        )
         pos = contacts.dist - contacts.includemargin  # (C,)
         imp = impedance(contacts.solimp, pos)
         k, b = kb_from_solref(contacts.solref, contacts.solimp, m.timestep)
-        vel = jnp.einsum("crv,v->cr", pyr, qvel)  # (C, 4)
-        aref = -b[:, None] * vel - (k * imp * pos)[:, None]
         inv_w = m.body_invweight0[jnp.asarray(b1), 0] + m.body_invweight0[jnp.asarray(b2), 0]
+        mu = contacts.friction[:, None]  # (C, 1)
         mu_s = contacts.friction
-        diag_approx = jnp.maximum(2.0 * inv_w * mu_s * mu_s * (1.0 + mu_s * mu_s), _MINVAL)
-        reg = ((1.0 - imp) / jnp.maximum(imp, _MINIMP) * diag_approx)[:, None].repeat(4, 1)
-        active = (contacts.dist < contacts.includemargin).astype(dtype)[:, None].repeat(4, 1)
+        active1 = (contacts.dist < contacts.includemargin).astype(dtype)
 
-        blocks_J.append(pyr.reshape(ncon * 4, m.nv))
-        blocks_aref.append(aref.reshape(-1))
-        blocks_reg.append(reg.reshape(-1))
-        blocks_active.append(active.reshape(-1))
+        if m.cone_pyramidal:
+            # pyramid: [n+mu t1, n-mu t1, n+mu t2, n-mu t2] -> (C, 4, nv)
+            rows = jnp.stack(
+                [
+                    n_row + mu * t1_row,
+                    n_row - mu * t1_row,
+                    n_row + mu * t2_row,
+                    n_row - mu * t2_row,
+                ],
+                axis=1,
+            )
+            vel = jnp.einsum("crv,v->cr", rows, qvel)  # (C, 4)
+            aref = -b[:, None] * vel - (k * imp * pos)[:, None]
+            diag_approx = jnp.maximum(2.0 * inv_w * mu_s * mu_s * (1.0 + mu_s * mu_s), _MINVAL)
+            reg = ((1.0 - imp) / jnp.maximum(imp, _MINIMP) * diag_approx)[:, None].repeat(4, 1)
+            active = active1[:, None].repeat(4, 1)
+            blocks_J.append(rows.reshape(ncon * 4, m.nv))
+            blocks_aref.append(aref.reshape(-1))
+            blocks_reg.append(reg.reshape(-1))
+            blocks_active.append(active.reshape(-1))
+        else:
+            # elliptic rows in GROUPED layout: [all normals | all t1 | all t2]
+            # (contiguous blocks make the SOC projection static slices — this
+            # matters inside the Pallas lanes kernel; see lane_step.py).
+            # Friction rows carry pos=0 / K=0 (aref = -B*vel) and R divided by
+            # impratio; all three share the normal row's impedance (verified
+            # against CPU MuJoCo efc_* arrays, see module docstring).
+            vel = jnp.einsum("crv,v->cr", rows3, qvel)  # (C, 3)
+            aref_n = -b * vel[:, 0] - k * imp * pos
+            aref_t = -b[:, None] * vel[:, 1:]  # (C, 2)
+            reg_n = (1.0 - imp) / jnp.maximum(imp, _MINIMP) * jnp.maximum(inv_w, _MINVAL)
+            reg_t = reg_n / m.impratio
+            blocks_J.append(jnp.concatenate([n_row, t1_row, t2_row], axis=0))
+            blocks_aref.append(jnp.concatenate([aref_n, aref_t[:, 0], aref_t[:, 1]]))
+            blocks_reg.append(jnp.concatenate([reg_n, reg_t, reg_t]))
+            blocks_active.append(jnp.concatenate([active1, active1, active1]))
 
     if not blocks_J:
         return ConstraintRows(
@@ -230,15 +263,55 @@ def assemble_constraints(
     )
 
 
+def contact_rows_per(m: PhysicsModel) -> int:
+    """Rows per condim-3 contact: 4 pyramid facets or 3 elliptic rows."""
+    return 4 if m.cone_pyramidal else 3
+
+
+def num_noncontact_rows(m: PhysicsModel) -> int:
+    """Static count of rows BEFORE the contact block (equalities + limits) —
+    the rows whose dual projection is plain max(f, 0) in both cone modes."""
+    neq_joint = sum(1 for e in range(m.neq) if m.eq_type[e] == EQ_JOINT)
+    return 2 * neq_joint + len(_limit_meta(m)[0])
+
+
 def num_constraint_rows(m: PhysicsModel) -> int:
     """Static efc row count produced by assemble_constraints (for warm-start
     buffers carried across scan steps)."""
     from judo_tpu.physics.collision import num_contact_slots
 
-    neq_joint = sum(1 for e in range(m.neq) if m.eq_type[e] == EQ_JOINT)
-    nlimits = len(_limit_meta(m)[0])
     ncon = num_contact_slots(m) if m.contact_enabled else 0
-    return 2 * neq_joint + nlimits + 4 * ncon
+    return num_noncontact_rows(m) + contact_rows_per(m) * ncon
+
+
+def project_dual(
+    z: jnp.ndarray,  # (nefc,)
+    ncon_start: int,
+    mus: jnp.ndarray | None,  # (C,) friction coefficients, None for pyramidal
+) -> jnp.ndarray:
+    """Project a dual iterate onto the feasible cone.
+
+    Pyramidal (``mus is None``): elementwise max(z, 0). Elliptic: non-contact
+    rows are clamped at 0; each contact's (n, t1, t2) — stored GROUPED as
+    [normals | t1s | t2s] after ``ncon_start`` — is projected onto the
+    second-order cone {||t|| <= mu n} (exact Euclidean projection).
+    """
+    if mus is None:
+        return jnp.maximum(z, 0.0)
+    mus = mus.astype(z.dtype)  # don't let f64 friction promote an f32 iterate
+    zn = jnp.maximum(z[:ncon_start], 0.0)
+    C = mus.shape[0]
+    n = z[ncon_start : ncon_start + C]
+    t1 = z[ncon_start + C : ncon_start + 2 * C]
+    t2 = z[ncon_start + 2 * C :]
+    s = jnp.sqrt(t1 * t1 + t2 * t2)
+    inside = s <= mus * n
+    polar = mus * s <= -n  # projection is the origin
+    a = (mus * s + n) / (1.0 + mus * mus)
+    coef = mus * a / jnp.maximum(s, _MINVAL)
+    n_out = jnp.where(inside, n, jnp.where(polar, 0.0, a))
+    t_scale = jnp.where(inside, 1.0, jnp.where(polar, 0.0, coef))
+    return jnp.concatenate([zn, n_out, t1 * t_scale, t2 * t_scale])
 
 
 def solve_dual_qp_matfree(
@@ -248,8 +321,12 @@ def solve_dual_qp_matfree(
     b: jnp.ndarray,  # (nefc,)
     iterations: int,
     f_warm: jnp.ndarray | None = None,
+    ncon_start: int = 0,
+    mus: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """min_{f>=0} 0.5 f^T (J M^-1 J^T + diag(reg)) f + f^T b via APGD.
+    """min_{f in K} 0.5 f^T (J M^-1 J^T + diag(reg)) f + f^T b via APGD,
+    K = nonnegative orthant (pyramidal) or per-contact SOC (elliptic; see
+    project_dual).
 
     Matrix-free: the dual operator is applied as two (nefc, nv) matvecs
     instead of materializing the (nefc, nefc) Delassus matrix — for
@@ -257,10 +334,18 @@ def solve_dual_qp_matfree(
     traffic by ~nefc/(2 nv), which dominates the rollout cost on TPU.
     The Lipschitz constant comes from a short power iteration.
     """
-    dtype = b.dtype
+    dtype = J.dtype
     nefc = b.shape[0]
     if nefc == 0:
         return b
+    # mixed-precision inputs (f32 carry vs f64 model constants under x64)
+    # must not flip the scan carry dtype between iterations
+    b = b.astype(dtype)
+    reg = reg.astype(dtype)
+    if f_warm is not None:
+        f_warm = f_warm.astype(dtype)
+    if mus is not None:
+        mus = mus.astype(dtype)
 
     def apply_A(f):
         return J @ (minv_jt @ f) + reg * f
@@ -282,7 +367,7 @@ def solve_dual_qp_matfree(
     def body(carry, _):
         f, y, t = carry
         grad = apply_A(y) + b
-        f_new = jnp.maximum(y - step * grad, 0.0)
+        f_new = project_dual(y - step * grad, ncon_start, mus)
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         y_new = f_new + ((t - 1.0) / t_new) * (f_new - f)
         restart = jnp.dot(grad, f_new - f) > 0
@@ -290,7 +375,11 @@ def solve_dual_qp_matfree(
         t_new = jnp.where(restart, jnp.asarray(1.0, dtype), t_new)
         return (f_new, y_new, t_new), None
 
-    f0 = jnp.zeros(nefc, dtype) if f_warm is None else jnp.maximum(f_warm, 0.0)
+    f0 = (
+        jnp.zeros(nefc, dtype)
+        if f_warm is None
+        else project_dual(f_warm, ncon_start, mus)
+    )
     (f, _, _), _ = jax.lax.scan(body, (f0, f0, jnp.asarray(1.0, dtype)), None, length=iterations)
     return f
 
@@ -328,7 +417,9 @@ def solve_contacts(
 
     minv_jt = minv @ J.T  # (nv, nefc) one batched matmul instead of nefc substitutions
     b = J @ qacc_smooth - aref
+    mus = None if m.cone_pyramidal else contacts.friction
     f = solve_dual_qp_matfree(
-        J, minv_jt, reg, b, iterations=max(m.solver_iterations, 8), f_warm=f_warm
+        J, minv_jt, reg, b, iterations=max(m.solver_iterations, 8), f_warm=f_warm,
+        ncon_start=num_noncontact_rows(m), mus=mus,
     )
     return qacc_smooth + minv_jt @ f, f

