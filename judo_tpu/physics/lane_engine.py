@@ -702,6 +702,14 @@ def actuation_l(m: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray, ctrl: jnp
         if flimited[u]:
             force = jnp.clip(force, float(frange[u, 0]), float(frange[u, 1]))
         rows[dadr] = rows[dadr] + g * force
+    # per-JOINT clamp of the total actuator force (MuJoCo 3.x
+    # jnt_actfrcrange / actuatorfrcrange — matches smooth.actuation)
+    if any(m.jnt_actfrclimited):
+        afr = np.asarray(jax.device_get(m.jnt_actfrcrange), np.float64)
+        for j in range(m.njnt):
+            if m.jnt_actfrclimited[j] and m.jnt_type[j] in (SLIDE, HINGE):
+                dadr = m.jnt_dofadr[j]
+                rows[dadr] = jnp.clip(rows[dadr], float(afr[j, 0]), float(afr[j, 1]))
     return jnp.stack(rows)
 
 

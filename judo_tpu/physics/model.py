@@ -85,6 +85,7 @@ class PhysicsModel:
     jnt_dofadr: Tuple[int, ...] = struct.field(pytree_node=False)
     jnt_bodyid: Tuple[int, ...] = struct.field(pytree_node=False)
     jnt_limited: Tuple[int, ...] = struct.field(pytree_node=False)
+    jnt_actfrclimited: Tuple[int, ...] = struct.field(pytree_node=False)
     dof_bodyid: Tuple[int, ...] = struct.field(pytree_node=False)
     dof_jntid: Tuple[int, ...] = struct.field(pytree_node=False)
     dof_parentid: Tuple[int, ...] = struct.field(pytree_node=False)
@@ -127,6 +128,7 @@ class PhysicsModel:
     jnt_solref: jnp.ndarray  # (njnt, 2) limit solref
     jnt_solimp: jnp.ndarray  # (njnt, 5) limit solimp
     jnt_margin: jnp.ndarray  # (njnt,)
+    jnt_actfrcrange: jnp.ndarray  # (njnt, 2) total-actuator-force clamp
     dof_damping: jnp.ndarray  # (nv,)
     dof_armature: jnp.ndarray  # (nv,)
     dof_frictionloss: jnp.ndarray  # (nv,)
@@ -325,6 +327,7 @@ def put_model(
         jnt_dofadr=_t(m.jnt_dofadr),
         jnt_bodyid=_t(m.jnt_bodyid),
         jnt_limited=_t(m.jnt_limited),
+        jnt_actfrclimited=_t(m.jnt_actfrclimited),
         dof_bodyid=_t(m.dof_bodyid),
         dof_jntid=_t(m.dof_jntid),
         dof_parentid=_t(m.dof_parentid),
@@ -367,6 +370,7 @@ def put_model(
         jnt_solref=a(m.jnt_solref),
         jnt_solimp=a(m.jnt_solimp),
         jnt_margin=a(m.jnt_margin),
+        jnt_actfrcrange=a(m.jnt_actfrcrange),
         dof_damping=a(m.dof_damping),
         dof_armature=a(m.dof_armature),
         dof_frictionloss=a(m.dof_frictionloss),

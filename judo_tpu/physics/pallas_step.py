@@ -29,6 +29,21 @@ from judo_tpu.physics.solver import num_constraint_rows
 
 LANE_TILE = 128
 
+
+def pick_lane_tile(B: int, cap: int = 128) -> int:
+    """Batch-tile (multiple of 128, <= cap) dividing B.
+
+    Measured (scratch/r4_stage2_t*.txt): a 384-lane tile is SLOWER than
+    3 sequential 128-lane grid steps (878 vs 735 us/step on the full leap
+    step) — Mosaic issues one instruction per 128-lane vreg either way, so
+    wider tiles don't amortize the step's serial-chain latency, they just
+    raise VMEM pressure. Keep 128.
+    """
+    for t in range(cap, 0, -LANE_TILE):
+        if B % t == 0:
+            return t
+    return LANE_TILE
+
 # XLA compiler options for any jit that closes over the Pallas step: the
 # fused contact step's live set peaks ~27 MB, above the 16 MB default
 # scoped-vmem budget XLA grants the enclosing fusion (v5e VMEM is 128 MB).
@@ -53,7 +68,7 @@ def lane_supported(m: PhysicsModel) -> bool:
     return True
 
 
-def _build_pallas_step(m: PhysicsModel, iterations: int | None, interpret: bool, lipschitz: str = "holder"):
+def _build_pallas_step(m: PhysicsModel, iterations: int | None, interpret: bool, lipschitz: str = "cw"):
     """Pallas step builder for one model (cheap closure construction; the
     expensive tracing/compilation is cached by the caller's jit)."""
     from jax.experimental import pallas as pl
@@ -124,7 +139,7 @@ def _build_pallas_step(m: PhysicsModel, iterations: int | None, interpret: bool,
     return step_fn
 
 
-def _xla_step_fn(m: PhysicsModel, iterations: int | None, lipschitz: str = "holder"):
+def _xla_step_fn(m: PhysicsModel, iterations: int | None, lipschitz: str = "cw"):
     nefc = num_constraint_rows(m)
     ns = m.nsensordata
 
@@ -144,7 +159,7 @@ def _build_fused_rollout(
     substeps: int,
     iterations: int | None,
     interpret: bool,
-    lipschitz: str = "holder",
+    lipschitz: str = "cw",
 ):
     """The WHOLE rollout as one ``pallas_call``.
 
@@ -202,16 +217,17 @@ def _build_fused_rollout(
         B = qpos.shape[-1]
         assert B % LANE_TILE == 0, f"lane batch {B} must be a multiple of {LANE_TILE}"
         dtype = qpos.dtype
-        grid = (B // LANE_TILE, T)
+        tile = pick_lane_tile(B)
+        grid = (B // tile, T)
         in_specs = [
-            pl.BlockSpec((nq, LANE_TILE), lambda i, t: (0, i)),
-            pl.BlockSpec((nv, LANE_TILE), lambda i, t: (0, i)),
-            pl.BlockSpec((1, nu_, LANE_TILE), lambda i, t: (t, 0, i)),
+            pl.BlockSpec((nq, tile), lambda i, t: (0, i)),
+            pl.BlockSpec((nv, tile), lambda i, t: (0, i)),
+            pl.BlockSpec((1, nu_, tile), lambda i, t: (t, 0, i)),
         ]
         out_specs = (
-            pl.BlockSpec((1, nq, LANE_TILE), lambda i, t: (t, 0, i)),
-            pl.BlockSpec((1, nv, LANE_TILE), lambda i, t: (t, 0, i)),
-            pl.BlockSpec((1, ns_, LANE_TILE), lambda i, t: (t, 0, i)),
+            pl.BlockSpec((1, nq, tile), lambda i, t: (t, 0, i)),
+            pl.BlockSpec((1, nv, tile), lambda i, t: (t, 0, i)),
+            pl.BlockSpec((1, ns_, tile), lambda i, t: (t, 0, i)),
         )
         out_shape = (
             jax.ShapeDtypeStruct((T, nq, B), dtype),
@@ -219,9 +235,9 @@ def _build_fused_rollout(
             jax.ShapeDtypeStruct((T, ns_, B), dtype),
         )
         scratch_shapes = [
-            pltpu.VMEM((nq, LANE_TILE), dtype),
-            pltpu.VMEM((nv, LANE_TILE), dtype),
-            pltpu.VMEM((nefc_, LANE_TILE), dtype),
+            pltpu.VMEM((nq, tile), dtype),
+            pltpu.VMEM((nv, tile), dtype),
+            pltpu.VMEM((nefc_, tile), dtype),
         ]
         return pl.pallas_call(
             kernel,
@@ -258,7 +274,7 @@ def rollout_lanes(
     physics_substeps: int = 1,
     iterations: int | None = None,
     backend: str = "pallas",
-    lipschitz: str = "holder",
+    lipschitz: str = "cw",
 ) -> LaneRolloutOutput:
     """Batched rollout in the lanes formulation (states batch-first at the
     API boundary; one transpose each way per solve).

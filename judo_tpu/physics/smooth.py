@@ -340,4 +340,18 @@ def actuation(m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray) -> jnp.ndarra
         jnp.clip(force, m.actuator_forcerange[:, 0], m.actuator_forcerange[:, 1]),
         force,
     )
-    return sel_v.T @ (gear * force)
+    qfrc = sel_v.T @ (gear * force)
+    # per-JOINT clamp of the total actuator force (MuJoCo 3.x
+    # jnt_actfrcrange / actuatorfrcrange — the fr3 arm's +-87 Nm limits)
+    if any(m.jnt_actfrclimited):
+        limited = np.zeros(m.nv)
+        sel_j = np.zeros((m.njnt, m.nv))
+        for j in range(m.njnt):
+            if m.jnt_actfrclimited[j] and m.jnt_type[j] in (SLIDE, HINGE):
+                limited[m.jnt_dofadr[j]] = 1.0
+                sel_j[j, m.jnt_dofadr[j]] = 1.0
+        sel_j = jnp.asarray(sel_j, dtype)
+        lo = sel_j.T @ m.jnt_actfrcrange[:, 0]
+        hi = sel_j.T @ m.jnt_actfrcrange[:, 1]
+        qfrc = jnp.where(jnp.asarray(limited > 0), jnp.clip(qfrc, lo, hi), qfrc)
+    return qfrc

@@ -47,6 +47,7 @@ from judo_tpu.physics.smooth import ComQuants, Kinematics
 
 _MINIMP, _MAXIMP = 1e-4, 0.9999
 _MINVAL = 1e-15
+_PRECONDITION = True  # Jacobi-precondition the dual APGD (A/B hatch)
 
 
 class ConstraintRows(NamedTuple):
@@ -54,6 +55,8 @@ class ConstraintRows(NamedTuple):
     aref: jnp.ndarray  # (nefc,)
     reg: jnp.ndarray  # (nefc,) regularizer R diagonal
     active: jnp.ndarray  # (nefc,) 0/1 mask
+    diag: jnp.ndarray  # (nefc,) invweight0 diag(J M^-1 J^T) approximation
+    # (MuJoCo's diagApprox — used as the APGD Jacobi preconditioner)
 
 
 def impedance(solimp: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
@@ -112,6 +115,7 @@ def assemble_constraints(
     """Build efc rows (equalities, joint limits, pyramidal contact facets)."""
     dtype = qvel.dtype
     blocks_J, blocks_aref, blocks_reg, blocks_active = [], [], [], []
+    blocks_diag = []
 
     # --- joint equality couplings (mjEQ_JOINT), as +/- one-sided row pairs ---
     # rows are built from constant one-hot basis vectors scaled by computed
@@ -145,6 +149,7 @@ def assemble_constraints(
             blocks_aref.append(jnp.asarray(sgn * (-b * vel - k * imp * pos), dtype)[None])
             blocks_reg.append(jnp.asarray(reg_val, dtype)[None])
             blocks_active.append(jnp.ones(1, dtype))
+            blocks_diag.append(jnp.full(1, inv_w, dtype))
 
     # --- joint limits (vectorized over the static limited-joint list) ---
     jids, dofs, sides = _limit_meta(m)
@@ -174,6 +179,7 @@ def assemble_constraints(
             (1.0 - imp) / jnp.maximum(imp, _MINIMP) * (jnp.abs(J) @ m.dof_invweight0)
         )
         blocks_active.append((dist < margin).astype(dtype))
+        blocks_diag.append(jnp.abs(J) @ m.dof_invweight0)
 
     # --- contacts: pyramidal facets or elliptic triplets, vectorized ---
     ncon = contacts.dist.shape[0]
@@ -234,6 +240,7 @@ def assemble_constraints(
             blocks_aref.append(aref.reshape(-1))
             blocks_reg.append(reg.reshape(-1))
             blocks_active.append(active.reshape(-1))
+            blocks_diag.append(diag_approx[:, None].repeat(4, 1).reshape(-1))
         else:
             # elliptic rows in GROUPED layout: [all normals | all t1 | all t2]
             # (contiguous blocks make the SOC projection static slices — this
@@ -250,16 +257,20 @@ def assemble_constraints(
             blocks_aref.append(jnp.concatenate([aref_n, aref_t[:, 0], aref_t[:, 1]]))
             blocks_reg.append(jnp.concatenate([reg_n, reg_t, reg_t]))
             blocks_active.append(jnp.concatenate([active1, active1, active1]))
+            iw = jnp.maximum(inv_w, _MINVAL)
+            blocks_diag.append(jnp.concatenate([iw, iw, iw]))
 
     if not blocks_J:
         return ConstraintRows(
-            jnp.zeros((0, m.nv), dtype), jnp.zeros(0, dtype), jnp.ones(0, dtype), jnp.zeros(0, dtype)
+            jnp.zeros((0, m.nv), dtype), jnp.zeros(0, dtype), jnp.ones(0, dtype),
+            jnp.zeros(0, dtype), jnp.ones(0, dtype),
         )
     return ConstraintRows(
         jnp.concatenate(blocks_J, axis=0),
         jnp.concatenate(blocks_aref),
         jnp.concatenate(blocks_reg),
         jnp.concatenate(blocks_active),
+        jnp.concatenate(blocks_diag),
     )
 
 
@@ -323,6 +334,8 @@ def solve_dual_qp_matfree(
     f_warm: jnp.ndarray | None = None,
     ncon_start: int = 0,
     mus: jnp.ndarray | None = None,
+    diag: jnp.ndarray | None = None,
+    lipschitz: str = "cw",
 ) -> jnp.ndarray:
     """min_{f in K} 0.5 f^T (J M^-1 J^T + diag(reg)) f + f^T b via APGD,
     K = nonnegative orthant (pyramidal) or per-contact SOC (elliptic; see
@@ -347,26 +360,84 @@ def solve_dual_qp_matfree(
     if mus is not None:
         mus = mus.astype(dtype)
 
-    def apply_A(f):
-        return J @ (minv_jt @ f) + reg * f
+    # Jacobi preconditioning: solve in g = D^1/2 f with D ~ diag(A) + reg.
+    # Contact-rich scenes mix near-rigid limit/equality rows (tiny reg, huge
+    # aref stiffness) with soft contact rows — condition numbers >1e4 — and
+    # fixed-step APGD needs hundreds of iterations unpreconditioned (measured
+    # on fr3_pick: qacc error ~1e3 at 25 iters). Diagonal scaling clusters
+    # the spectrum; the orthant is invariant under any positive row scaling,
+    # and the elliptic SOC is preserved because the diag approximation is
+    # UNIFORM across each contact's 3 rows (body invweight0 sum — MuJoCo's
+    # diagApprox, statically emitted by assemble_constraints). When no diag
+    # is supplied, the exact diag(A) is computed (one elementwise pass).
+    if diag is None:
+        diag = jnp.sum(J * minv_jt.T, axis=1)
+        if mus is not None:
+            C = mus.shape[0]
+            d_n = diag[ncon_start : ncon_start + C]
+            diag = jnp.concatenate([diag[:ncon_start], d_n, d_n, d_n])
+    diagA = diag.astype(dtype) + reg
+    if not _PRECONDITION:  # A/B escape hatch (scratch benchmarking only)
+        diagA = jnp.ones_like(diagA)
+    inv_s = jax.lax.rsqrt(jnp.maximum(diagA, _MINVAL))  # D^-1/2
 
-    # Safe Lipschitz upper bound without materializing A:
-    #   ||J K||_2 <= sqrt(||J||_1 ||J||_inf) * sqrt(||K||_1 ||K||_inf)
-    # (Hoelder); both factors are cheap on the materialized (nefc, nv) J and
-    # (nv, nefc) K = M^-1 J^T. A lower-bound estimate (power iteration) is
-    # unsafe here: an underestimated L makes projected gradient diverge.
-    def op_bound(mat):
-        l1 = jnp.max(jnp.sum(jnp.abs(mat), axis=0))
-        linf = jnp.max(jnp.sum(jnp.abs(mat), axis=1))
-        return jnp.sqrt(jnp.maximum(l1 * linf, _MINVAL))
+    Js = J * inv_s[:, None]
+    minv_jts = minv_jt * inv_s[None, :]
+    regs = reg * inv_s * inv_s
+    bs = b * inv_s
 
-    L = op_bound(J) * op_bound(minv_jt) + jnp.max(reg)
+    def apply_A(g):
+        return Js @ (minv_jts @ g) + regs * g
+
+    # Lipschitz constant (APGD step = 1/L). Estimators, all valid upper
+    # bounds of lambda_max(A_s) except "power":
+    # - "cw" (default): Collatz-Wielandt. With B := |Js| |Ks| + diag(regs)
+    #   (entrywise abs), |A_s| <= B entrywise, so lambda_max(A_s) <= rho(B)
+    #   <= max_i (B v)_i / v_i for ANY positive v. Three power iterations on
+    #   B sharpen v, then the CW max gives a GUARANTEED bound measured at
+    #   1.5-2.6x lambda_max on the contact scenes — versus 31-74x for the
+    #   Hoelder bound, i.e. ~20x more effective APGD step per iteration.
+    # - "holder": sqrt(||J||_1 ||J||_inf) * sqrt(||K||_1 ||K||_inf) — valid
+    #   but loose (kept for A/B).
+    # - "power": from-below norm-ratio estimate x1.25 — NOT a valid bound;
+    #   diverges on stiff scenes (measured); kept only for experiments.
+    if lipschitz == "cw":
+        aJ = jnp.abs(Js)
+        aK = jnp.abs(minv_jts)
+
+        def apply_B(v):
+            return aJ @ (aK @ v) + regs * v
+
+        v = jnp.ones(nefc, dtype)
+        for _ in range(3):
+            bv = apply_B(v)
+            v = bv / jnp.sqrt(jnp.maximum(jnp.dot(bv, bv), _MINVAL))
+        bv = apply_B(v)
+        L = jnp.max(bv / jnp.maximum(v, 1e-12))
+    elif lipschitz == "power":
+        v = jnp.maximum(jnp.abs(bs), 1e-3)
+        lam = jnp.asarray(1.0, dtype)
+        for _ in range(4):
+            av = apply_A(v)
+            n_av = jnp.sqrt(jnp.maximum(jnp.dot(av, av), _MINVAL))
+            n_v = jnp.sqrt(jnp.maximum(jnp.dot(v, v), _MINVAL))
+            lam = n_av / n_v
+            v = av / n_av
+        L = 1.25 * lam + jnp.max(regs)
+    else:
+
+        def op_bound(mat):
+            l1 = jnp.max(jnp.sum(jnp.abs(mat), axis=0))
+            linf = jnp.max(jnp.sum(jnp.abs(mat), axis=1))
+            return jnp.sqrt(jnp.maximum(l1 * linf, _MINVAL))
+
+        L = op_bound(Js) * op_bound(minv_jts) + jnp.max(regs)
     L = jnp.maximum(L, _MINVAL)
     step = 1.0 / L
 
     def body(carry, _):
         f, y, t = carry
-        grad = apply_A(y) + b
+        grad = apply_A(y) + bs
         f_new = project_dual(y - step * grad, ncon_start, mus)
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         y_new = f_new + ((t - 1.0) / t_new) * (f_new - f)
@@ -375,13 +446,13 @@ def solve_dual_qp_matfree(
         t_new = jnp.where(restart, jnp.asarray(1.0, dtype), t_new)
         return (f_new, y_new, t_new), None
 
-    f0 = (
+    g0 = (
         jnp.zeros(nefc, dtype)
         if f_warm is None
-        else project_dual(f_warm, ncon_start, mus)
+        else project_dual(f_warm / jnp.maximum(inv_s, _MINVAL), ncon_start, mus)
     )
-    (f, _, _), _ = jax.lax.scan(body, (f0, f0, jnp.asarray(1.0, dtype)), None, length=iterations)
-    return f
+    (g, _, _), _ = jax.lax.scan(body, (g0, g0, jnp.asarray(1.0, dtype)), None, length=iterations)
+    return g * inv_s
 
 
 def solve_contacts(
@@ -414,12 +485,13 @@ def solve_contacts(
     J = rows.J * rows.active[:, None]
     aref = rows.aref * rows.active
     reg = jnp.where(rows.active > 0, rows.reg, 1.0)
+    diag = jnp.where(rows.active > 0, rows.diag, 1.0)
 
     minv_jt = minv @ J.T  # (nv, nefc) one batched matmul instead of nefc substitutions
     b = J @ qacc_smooth - aref
     mus = None if m.cone_pyramidal else contacts.friction
     f = solve_dual_qp_matfree(
         J, minv_jt, reg, b, iterations=max(m.solver_iterations, 8), f_warm=f_warm,
-        ncon_start=num_noncontact_rows(m), mus=mus,
+        ncon_start=num_noncontact_rows(m), mus=mus, diag=diag,
     )
     return qacc_smooth + minv_jt @ f, f
