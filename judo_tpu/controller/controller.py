@@ -49,6 +49,17 @@ class ControllerConfig(OverridableConfig):
     max_opt_iters: int = 1
     max_num_traces: int = 5
     action_normalizer: Literal["none", "min_max", "running"] = "none"
+    # APGD budget for the lanes physics path (None = the model's own solver
+    # iterations). The preconditioned CW-bounded solver tracks a converged
+    # reference to ~2e-5 at 8 warm-started iterations on the leap scene
+    # (tests/test_physics/test_solver_quality.py); 12 leaves safety margin.
+    solver_iterations: int | None = 12
+    # >0: pipeline the solve — update_action dispatches the new solve before
+    # syncing the previous one's outputs (host mirrors lag by `depth` solves;
+    # the on-device carry chains without host sync, so the optimization state
+    # is never stale). Hides dispatch latency; steady-state per-solve wall
+    # time approaches pure device compute.
+    pipeline_depth: int = 0
 
 
 @struct.dataclass
@@ -72,6 +83,10 @@ class SolveOutputs(NamedTuple):
     rollout_controls: jnp.ndarray  # (R, T, nu)
     candidate_knots: jnp.ndarray  # (R, N, nu)
     traces: jnp.ndarray  # (num_elites, num_trace_sensors, T-1, 2, 3)
+    # flat [times | knots | rewards | traces] — everything the host mirrors
+    # need, packed device-side so the per-solve device->host sync is ONE
+    # transfer (each separate pull costs a transport round trip)
+    mirror: jnp.ndarray
 
 
 def get_trace_sensor_ids(model: mujoco.MjModel) -> list[int]:
@@ -119,6 +134,13 @@ class Controller:
 
         self._solve_cache: dict[tuple, Any] = {}
         self._args_cache: dict[str, Any] = {}
+        self._pending: list = []  # in-flight solves (pipeline_depth > 0)
+        self._consume_futures: list = []
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._consumer = ThreadPoolExecutor(max_workers=1, thread_name_prefix="judo-consume")
+        self._mirror_lock = threading.Lock()
         self.last_plan_timing: dict[str, float] | None = None
         self.last_outputs: SolveOutputs | None = None
         self.traces: np.ndarray | None = None
@@ -205,7 +227,8 @@ class Controller:
         """(times, knots, order) triple for publishing to the sim process."""
         from judo_tpu.app.structs import SplineData
 
-        return SplineData(t=self.times, x=self.nominal_knots, kind=self.spline_order)
+        with self._mirror_lock:
+            return SplineData(t=self.times, x=self.nominal_knots, kind=self.spline_order)
 
     # --- shape signature / compiled solve management ---
     def _enforce_cubic_min_nodes(self) -> None:
@@ -233,8 +256,9 @@ class Controller:
 
             if not lane_supported(self.pm):
                 return "vmap"
-            multi_device = self.mesh is not None and self.mesh.devices.size > 1
-            if jax.default_backend() == "tpu" and not multi_device:
+            if jax.default_backend() == "tpu":
+                # under a multi-device mesh the lanes kernel runs per-shard
+                # via shard_map (see _build_solve) — no vmap fallback
                 return "lanes_pallas"
             return "vmap"
         return choice
@@ -265,6 +289,7 @@ class Controller:
             self._resolve_rollout_backend(),
             # remaining trace-time captured values, so LRU-cached closures can
             # never go stale when a knob cycles A->B->A with these changed
+            cc.solver_iterations,
             int(self.task.physics_substeps),
             bool(self.task.uses_locomotion_policy),
             hash(np.asarray(self.task.actuator_ctrlrange).tobytes()),
@@ -289,6 +314,7 @@ class Controller:
             )
             kind = "none"
         substeps = task.physics_substeps
+        solver_iters = self.controller_cfg.solver_iterations
         uses_policy = task.uses_locomotion_policy
         _backend = self._resolve_rollout_backend()
         lane_backend = {"lanes_pallas": "pallas", "lanes_xla": "xla"}.get(_backend)
@@ -372,11 +398,43 @@ class Controller:
                     R_ = sim_controls.shape[0]
                     qp0 = jnp.broadcast_to(x0.qpos, (R_, pm.nq))
                     qv0 = jnp.broadcast_to(x0.qvel, (R_, pm.nv))
-                    out = rollout_lanes(
-                        pm, qp0, qv0, sim_controls,
-                        physics_substeps=substeps, backend=lane_backend,
-                    )
-                    states, sensors = out.states, out.sensordata
+
+                    def lanes_rollout(qp, qv, ct):
+                        out = rollout_lanes(
+                            pm, qp, qv, ct,
+                            physics_substeps=substeps, backend=lane_backend,
+                            iterations=solver_iters,
+                        )
+                        return out.states, out.sensordata
+
+                    if mesh is not None and mesh.devices.size > 1:
+                        # candidate batch sharded over the mesh; each device
+                        # runs the lanes kernel on its LOCAL shard (padded to
+                        # the 128-lane tile inside rollout_lanes). This is the
+                        # TPU form of the reference's rollout-batch thread
+                        # parallelism (judo/utils/mj_rollout_backend.py:32-88)
+                        # — embarrassingly parallel, no collectives inside;
+                        # reward reductions downstream ride GSPMD.
+                        from jax.sharding import PartitionSpec as P
+
+                        ndev = mesh.devices.size
+                        assert R_ % ndev == 0, (
+                            f"num_rollouts {R_} must divide over the "
+                            f"{ndev}-device mesh for the lanes backend"
+                        )
+                        bspec = P(tuple(mesh.axis_names))
+                        states, sensors = jax.shard_map(
+                            lanes_rollout,
+                            mesh=mesh,
+                            in_specs=(bspec, bspec, bspec),
+                            out_specs=(bspec, bspec),
+                            # no collectives inside; skip the varying-axes
+                            # check (the scan's zero-init efc carry is
+                            # device-invariant by construction)
+                            check_vma=False,
+                        )(qp0, qv0, sim_controls)
+                    else:
+                        states, sensors = lanes_rollout(qp0, qv0, sim_controls)
                     new_policy_output = carry.last_policy_output
                 else:
                     out = jax.vmap(lambda c: rollout(pm, x0, c, physics_substeps=substeps))(sim_controls)
@@ -407,7 +465,12 @@ class Controller:
                 rng=rng,
                 last_policy_output=new_policy_output,
             )
-            outputs = SolveOutputs(rewards, states, sensors, rollout_controls, candidates, traces)
+            mirror = jnp.concatenate(
+                [new_times.ravel(), new_nominal.ravel(), rewards.ravel(), traces.ravel()]
+            )
+            outputs = SolveOutputs(
+                rewards, states, sensors, rollout_controls, candidates, traces, mirror
+            )
             return new_carry, outputs
 
         if lane_backend == "pallas":
@@ -497,8 +560,14 @@ class Controller:
         reference only has end-to-end plan_time telemetry; here the split is
         prep [host arg staging] / device [dispatch + on-device solve] / sync
         [device->host pull + spline rebuild] — the natural stage boundaries of
-        a fused jitted solve). Overhead: two perf_counter reads and one
-        block_until_ready the following device_get would pay anyway."""
+        a fused jitted solve).
+
+        With ``controller_cfg.pipeline_depth > 0`` the call dispatches the new
+        solve FIRST and then syncs the oldest in-flight solve's outputs: the
+        device works on solve N while the host consumes solve N-depth. The
+        on-device SolverState carry chains without any host round-trip, so
+        the optimizer/warm-start state is never stale — only the published
+        spline/trace mirrors lag by ``depth`` solves."""
         import time as _time
 
         t0 = _time.perf_counter()
@@ -526,21 +595,27 @@ class Controller:
             device_meta,
             *self._device_times(),
         )
-        jax.block_until_ready(outputs.rewards)
+        self._pending.append((self._carry, outputs, merged_meta))
+        depth = max(int(self.controller_cfg.pipeline_depth), 0)
+        if depth == 0:
+            while self._pending:
+                self._consume(*self._pending.pop(0))
+        else:
+            # hand the oldest in-flight solves to the consumer thread: the
+            # device->host pull of the mirrors is a synchronous transport
+            # round trip (~25 ms on a tunneled TPU, measured) that must not
+            # sit on the dispatch cycle's critical path. The single worker
+            # consumes strictly in order; readers of the mirrors (action(),
+            # spline_data) see a consistent snapshot via _mirror_lock.
+            while len(self._pending) > depth:
+                item = self._pending.pop(0)
+                self._consume_futures.append(self._consumer.submit(self._consume, *item))
+            while len(self._consume_futures) > 2:  # bound the backlog
+                self._consume_futures.pop(0).result()
         t2 = _time.perf_counter()
-        self.last_outputs = outputs
-
-        self.task.post_rollout(
-            outputs.states, outputs.sensors, outputs.rollout_controls, merged_meta
-        )
-
-        # host mirrors for the sim/GUI side — ONE device->host pull
-        self.times, self.nominal_knots, self.rewards, traces = jax.device_get(
-            (self._carry.times, self._carry.nominal_knots, outputs.rewards, outputs.traces)
-        )
-        self.update_spline(self.times, self.nominal_knots)
-        self.update_traces(outputs, traces)
-        t3 = _time.perf_counter()
+        t3 = t2
+        if depth == 0:
+            t3 = _time.perf_counter()
         self.last_plan_timing = {
             "prep_ms": 1e3 * (t1 - t0),
             "device_ms": 1e3 * (t2 - t1),
@@ -548,9 +623,42 @@ class Controller:
             "total_ms": 1e3 * (t3 - t0),
         }
 
+    def _consume(self, carry: SolverState, outputs: SolveOutputs, merged_meta: dict) -> None:
+        """Sync one solve's outputs into the host-side mirrors."""
+        self.task.post_rollout(
+            outputs.states, outputs.sensors, outputs.rollout_controls, merged_meta
+        )
+
+        # ONE device->host pull of the packed mirror vector (device_get
+        # itself waits for the solve, so no separate block_until_ready —
+        # every extra sync is a transport round trip)
+        flat = np.asarray(jax.device_get(outputs.mirror))
+        n = outputs.candidate_knots.shape[1]
+        nu = outputs.candidate_knots.shape[2]  # task action dim (not model nu)
+        r = outputs.rewards.shape[0]
+        i0 = 0
+        times = flat[i0 : i0 + n]; i0 += n
+        knots = flat[i0 : i0 + n * nu].reshape(n, nu); i0 += n * nu
+        rewards = flat[i0 : i0 + r]; i0 += r
+        traces = flat[i0:].reshape(outputs.traces.shape)
+        with self._mirror_lock:
+            self.last_outputs = outputs
+            self.times, self.nominal_knots, self.rewards = times, knots, rewards
+            self.update_spline(times, knots)
+            self.update_traces(outputs, traces)
+
+    def flush_pipeline(self) -> None:
+        """Drain all in-flight solves (pipeline_depth > 0) into the mirrors."""
+        while self._consume_futures:
+            self._consume_futures.pop(0).result()
+        while self._pending:
+            self._consume(*self._pending.pop(0))
+
     def action(self, time: float) -> np.ndarray:
-        """Current best action (host-side spline query)."""
-        return self.spline(time)
+        """Current best action (host-side spline query; consistent snapshot
+        when the pipelined consumer thread is updating the mirrors)."""
+        with self._mirror_lock:
+            return self.spline(time)
 
     def update_spline(self, times: np.ndarray, controls: np.ndarray) -> None:
         fill = (controls[..., 0, :], controls[..., -1, :])
@@ -576,6 +684,11 @@ class Controller:
 
     def reset(self) -> None:
         """Reset task + solver state (controller.py:309-321)."""
+        # drop in-flight solves from a previous task/state
+        for f in self._consume_futures:
+            f.cancel()
+        self._consume_futures = []
+        self._pending = []
         self.task.reset()
         self._enforce_cubic_min_nodes()
         n = self.optimizer_cfg.num_nodes

@@ -98,21 +98,28 @@ def onehot_row(n: int, idx: int, dtype) -> jnp.ndarray:
 
 
 def usum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Sum over a SMALL static axis, unrolled into explicit adds.
+    """Sum over a SMALL static axis, unrolled into an explicit BALANCED TREE
+    of adds.
 
     Mosaic's vector.multi_reduction rejects float ADD reductions whose input
     layout has nonzero offsets over the reduced dims (which slices of stacked
-    matrices routinely have); unrolled adds always lower.
+    matrices routinely have); unrolled adds always lower. The tree (depth
+    log2 n) matters because these reductions sit on the step's dependency
+    chains — a linear chain of n adds serializes at per-op latency.
     """
     n = x.shape[axis]
     axis = axis % x.ndim
     sl: list = [slice(None)] * x.ndim
-    out = None
+    terms = []
     for k in range(n):
         sl[axis] = k
-        t = x[tuple(sl)]
-        out = t if out is None else out + t
-    return out
+        terms.append(x[tuple(sl)])
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
 
 
 def l_cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -716,6 +723,58 @@ def actuation_l(m: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray, ctrl: jnp
 # ---------------------------------------------------------------------------
 # lanes linear algebra: Gauss-Jordan SPD inverse on (n, n, B)
 # ---------------------------------------------------------------------------
+
+
+def dof_islands(m: PhysicsModel) -> list:
+    """Contiguous [start, end) dof ranges of independent kinematic subtrees.
+
+    Two dofs couple in the mass matrix only when one is an ancestor of the
+    other, so each weakly-connected component of the dof forest
+    (dof_parentid) is an independent SPD block. MuJoCo orders dofs
+    depth-first, so components are contiguous ranges. On leap_cube (palm
+    fixed to the world) this yields cube(6) + 4 x finger(4): inverting the
+    blocks costs ~45x fewer MACs than the dense 22x22 elimination, and
+    block mat-vecs ~5x fewer.
+    """
+    comp = [0] * m.nv
+    n_comp = 0
+    for i in range(m.nv):
+        p = m.dof_parentid[i]
+        if p < 0:
+            comp[i] = n_comp
+            n_comp += 1
+        else:
+            comp[i] = comp[p]
+    ranges: list = []
+    start = 0
+    for i in range(1, m.nv + 1):
+        if i == m.nv or comp[i] != comp[start]:
+            ranges.append((start, i))
+            start = i
+    # a component split across multiple ranges means dofs are out of
+    # depth-first order — fall back to one dense block
+    if len({comp[s] for s, _ in ranges}) != len(ranges):
+        return [(0, m.nv)]
+    return ranges
+
+
+def spd_inverse_blocks(m: PhysicsModel, a: jnp.ndarray) -> list:
+    """Blockwise SPD inverse over dof_islands: [(start, (k, k, B) inverse)].
+
+    The input (nv, nv, B) matrix must be block-diagonal over the islands
+    (true for the CRB mass matrix and its damping-shifted variant)."""
+    return [(s, spd_inverse_l(a[s:e, s:e, :])) for s, e in dof_islands(m)]
+
+
+def bd_mat_vec(blocks: list, v: jnp.ndarray) -> jnp.ndarray:
+    """Block-diagonal (nv, nv, B) @ (nv, B) -> (nv, B)."""
+    return jnp.concatenate(
+        [mat_vec_l(blk, v[s : s + blk.shape[0]]) for s, blk in blocks], axis=0
+    )
+
+
+def bd_abs(blocks: list) -> list:
+    return [(s, jnp.abs(blk)) for s, blk in blocks]
 
 
 def spd_inverse_l(a: jnp.ndarray) -> jnp.ndarray:

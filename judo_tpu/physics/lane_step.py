@@ -99,13 +99,20 @@ def kb_from_solref_np(solref: np.ndarray, solimp: np.ndarray, timestep: float) -
 
 
 def jt_vec_chunked(J: jnp.ndarray, f: jnp.ndarray, C: int = 32) -> jnp.ndarray:
-    """J^T f: (nefc, nv, B), (nefc, B) -> (nv, B) in row chunks (VMEM-bounded)."""
+    """J^T f: (nefc, nv, B), (nefc, B) -> (nv, B) in row chunks (VMEM-bounded).
+
+    Chunk partials combine in a balanced tree (see lane_engine.usum): linear
+    accumulation would serialize the chunks at per-op latency."""
     nefc = J.shape[0]
-    acc = None
-    for r0 in range(0, nefc, C):
-        t = usum(J[r0 : r0 + C] * f[r0 : r0 + C][:, None, :], 0)
-        acc = t if acc is None else acc + t
-    return acc
+    terms = [
+        usum(J[r0 : r0 + C] * f[r0 : r0 + C][:, None, :], 0) for r0 in range(0, nefc, C)
+    ]
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
 
 
 def j_vec_chunked(J: jnp.ndarray, v: jnp.ndarray, C: int = 32) -> jnp.ndarray:
@@ -287,7 +294,7 @@ def assemble_constraints_l(
 
 def solve_dual_qp_l(
     J: jnp.ndarray,  # (nefc, nv, B)
-    minv: jnp.ndarray,  # (nv, nv, B)
+    minv,  # (nv, nv, B) dense, or dof-island blocks [(start, (k,k,B))]
     reg: jnp.ndarray,  # (nefc, B)
     b: jnp.ndarray,  # (nefc, B)
     iterations: int,
@@ -296,8 +303,13 @@ def solve_dual_qp_l(
     ncon_start: int = 0,
     mus: list | None = None,
     diag: jnp.ndarray | None = None,
-) -> jnp.ndarray:
+    cw_v: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """min_{f in K} 0.5 f^T (J M^-1 J^T + diag(reg)) f + f^T b, APGD in lanes.
+
+    Returns ``(f, cw_v_out)`` where ``cw_v_out`` is the (positive) CW probe
+    vector to carry into the next step (see the "cw" branch); callers that
+    don't carry it may discard it.
 
     K is the nonnegative orthant (pyramidal cone / no contacts) or, when
     ``mus`` (static per-contact friction list) is given, the product of
@@ -325,6 +337,19 @@ def solve_dual_qp_l(
     # accumulated chunk-by-chunk with the chunks discarded.
     C = 32
 
+    # minv may be a block-diagonal dof-island decomposition (lane_engine
+    # .spd_inverse_blocks) — block mat-vecs skip the zero cross-island work
+    from judo_tpu.physics.lane_engine import bd_abs, bd_mat_vec
+
+    dense_minv = not isinstance(minv, list)
+    minv_mv = (lambda x: mat_vec_l(minv, x)) if dense_minv else (lambda x: bd_mat_vec(minv, x))
+    if dense_minv:
+        a_minv = jnp.abs(minv)
+        aminv_mv = lambda x: mat_vec_l(a_minv, x)  # noqa: E731
+    else:
+        a_blocks = bd_abs(minv)
+        aminv_mv = lambda x: bd_mat_vec(a_blocks, x)  # noqa: E731
+
     # Jacobi preconditioning (matches solver.solve_dual_qp_matfree): fold
     # D^-1/2 into J once — Js rows are scaled copies, so apply_A / Lipschitz
     # run on the scaled operator with zero extra per-iteration cost. ``diag``
@@ -342,7 +367,7 @@ def solve_dual_qp_l(
     # Mosaic rejects inside the fori_loop body ("Shape mismatch in input,
     # indices and output"); `f[r0:r0+C][:, None]` is a plain lax.slice.
     def apply_A(f):
-        return j_vec_chunked(J, mat_vec_l(minv, jt_vec_chunked(J, f, C)), C) + reg * f
+        return j_vec_chunked(J, minv_mv(jt_vec_chunked(J, f, C)), C) + reg * f
 
     if mus:
         from judo_tpu.physics.lane_engine import const_col
@@ -368,6 +393,7 @@ def solve_dual_qp_l(
         def project(z):
             return jnp.maximum(z, 0.0)
 
+    cw_v_out = jnp.ones_like(b) if cw_v is None else cw_v
     if lipschitz == "cw":
         # Collatz-Wielandt upper bound (the default; see
         # solver.solve_dual_qp_matfree): with B := |J| |M^-1| |J|^T +
@@ -375,20 +401,33 @@ def solve_dual_qp_l(
         # |A| <= B entrywise so lambda_max(A) <= rho(B) <= max_i (Bv)_i/v_i
         # for any positive v — a GUARANTEED bound, measured 1.5-2.6x
         # lambda_max vs 31-74x for the Hoelder norms (~20x more APGD step
-        # per iteration). Costs 4 abs-applies (~4 APGD iterations).
+        # per iteration).
+        #
+        # When ``cw_v`` is carried across physics steps (the rollout paths),
+        # ONE apply refines it per step — the carry IS a power iteration
+        # distributed over time, converging to B's Perron vector while every
+        # intermediate still yields a valid bound (CW holds for ANY positive
+        # v). Cold calls (cw_v=None) pay 3 warmup applies first.
         aJ = jnp.abs(J)
-        aM = jnp.abs(minv)
 
         def apply_B(v):
-            return j_vec_chunked(aJ, mat_vec_l(aM, jt_vec_chunked(aJ, v, C)), C) + reg * v
+            return j_vec_chunked(aJ, aminv_mv(jt_vec_chunked(aJ, v, C)), C) + reg * v
 
-        v = jnp.ones_like(b)
-        for _ in range(3):
-            bv = apply_B(v)
-            nrm = jax.lax.rsqrt(jnp.maximum(usum(bv * bv, 0), _MINVAL))
-            v = bv * nrm[None]
+        if cw_v is None:
+            v = jnp.ones_like(b)
+            for _ in range(3):
+                bv = apply_B(v)
+                nrm = jax.lax.rsqrt(jnp.maximum(usum(bv * bv, 0), _MINVAL))
+                v = bv * nrm[None]
+        else:
+            # carried probe: keep it positive and normalized (guards against
+            # accumulated underflow in long rollouts)
+            nrm = jax.lax.rsqrt(jnp.maximum(usum(cw_v * cw_v, 0), _MINVAL))
+            v = jnp.maximum(cw_v * nrm[None], 1e-7)
         bv = apply_B(v)
         L = jnp.max(bv / jnp.maximum(v, 1e-12), axis=0)  # (B,)
+        nrm = jax.lax.rsqrt(jnp.maximum(usum(bv * bv, 0), _MINVAL))
+        cw_v_out = bv * nrm[None]
     elif lipschitz == "power":
         # from-below norm-ratio estimate x1.25 — NOT a valid bound; diverges
         # on stiff scenes (measured). Kept for experiments only.
@@ -402,6 +441,8 @@ def solve_dual_qp_l(
             v = av / nrm_av[None]
         L = 1.25 * jnp.maximum(lam, _MINVAL) + jnp.max(reg, axis=0)
     else:  # "holder": the reference two-factor bound (always valid)
+        assert dense_minv, "holder Lipschitz needs a dense minv (pass lipschitz='cw' for blocks)"
+
         def ob(mat, row_axis, col_axis):
             l1 = jnp.max(usum(jnp.abs(mat), row_axis), axis=0)  # (B,)
             linf = jnp.max(usum(jnp.abs(mat), col_axis), axis=0)
@@ -441,7 +482,7 @@ def solve_dual_qp_l(
 
     t0 = jnp.ones(b.shape[-1], dtype)
     f, _, _ = jax.lax.fori_loop(0, iterations, body, (f0, f0, t0))
-    return f * inv_s  # un-scale: g -> f
+    return f * inv_s, cw_v_out  # un-scale: g -> f
 
 
 def implicit_damping_np(m: PhysicsModel) -> np.ndarray:
@@ -608,6 +649,7 @@ class LaneStepOut(NamedTuple):
     qvel: jnp.ndarray  # (nv, B)
     sensordata: jnp.ndarray  # (nsensordata, B)
     efc_force: jnp.ndarray  # (nefc, B) warm-start carry
+    cw_v: jnp.ndarray  # (nefc, B) carried CW probe vector (see solve_dual_qp_l)
 
 
 def num_constraint_rows(m: PhysicsModel) -> int:
@@ -624,6 +666,7 @@ def step_l(
     f_warm: jnp.ndarray | None = None,  # (nefc, B)
     solver_iterations: int | None = None,
     lipschitz: str = "cw",
+    cw_v: jnp.ndarray | None = None,  # (nefc, B) carried CW probe
 ) -> LaneStepOut:
     """One mj_step, batch-last — semantics of step.step_with_forward with
     exact per-step inverses (cold path)."""
@@ -635,8 +678,18 @@ def step_l(
     qfrc_bias = le.rne_bias_l(m, com, vel, qvel)
     qfrc_smooth = le.actuation_l(m, qpos, qvel, ctrl) + le.passive_force_l(m, qpos, qvel) - qfrc_bias
 
-    minv = spd_inverse_l(mm)
-    qacc_smooth = mat_vec_l(minv, qfrc_smooth)
+    # exact inverses via independent dof-island blocks (lane_engine
+    # .dof_islands: ~45x fewer elimination MACs on leap); the legacy holder
+    # Lipschitz needs the dense form
+    from judo_tpu.physics.lane_engine import bd_mat_vec, spd_inverse_blocks
+
+    if lipschitz == "holder":
+        minv = spd_inverse_l(mm)
+        minv_mv = lambda x: mat_vec_l(minv, x)  # noqa: E731
+    else:
+        minv = spd_inverse_blocks(m, mm)
+        minv_mv = lambda x: bd_mat_vec(minv, x)  # noqa: E731
+    qacc_smooth = minv_mv(qfrc_smooth)
 
     from judo_tpu.physics.collision import num_contact_slots
 
@@ -661,13 +714,14 @@ def step_l(
 
         mus = None if m.cone_pyramidal else [c.friction for c in contacts]
         diag = jnp.where(rows.active > 0, rows.diag, 1.0)
-        f = solve_dual_qp_l(
+        f, cw_v_out = solve_dual_qp_l(
             J, minv, reg, b, iters, f_warm, lipschitz,
-            ncon_start=num_noncontact_rows(m), mus=mus, diag=diag,
+            ncon_start=num_noncontact_rows(m), mus=mus, diag=diag, cw_v=cw_v,
         )
-        qacc = qacc_smooth + mat_vec_l(minv, jt_vec_chunked(J, f))
+        qacc = qacc_smooth + minv_mv(jt_vec_chunked(J, f))
     else:
         f = jnp.zeros((0, qpos.shape[-1]), qpos.dtype)
+        cw_v_out = jnp.zeros((0, qpos.shape[-1]), qpos.dtype)
         qacc = qacc_smooth
 
     # implicit-in-velocity damping integration (step.step_with_forward)
@@ -675,8 +729,13 @@ def step_l(
 
     damp = implicit_damping_np(m)
     mh = mm + h * eye_mask(m.nv, qpos.dtype) * const_col(damp, qpos.dtype)[:, :, None]
-    mhinv = spd_inverse_l(mh)
-    dv = mat_vec_l(mhinv, h * mat_vec_l(mm, qacc))
+    if lipschitz == "holder":
+        mhinv_mv = lambda x: mat_vec_l(spd_inverse_l(mh), x)  # noqa: E731
+    else:
+        mh_blocks = spd_inverse_blocks(m, mh)
+        mhinv_mv = lambda x: bd_mat_vec(mh_blocks, x)  # noqa: E731
+    # mm is block-diagonal over the same islands; full mat_vec keeps parity
+    dv = mhinv_mv(h * mat_vec_l(mm, qacc))
     qvel_new = qvel + dv
     qpos_new = integrate_pos_l(m, qpos, qvel_new, h)
-    return LaneStepOut(qpos=qpos_new, qvel=qvel_new, sensordata=sens, efc_force=f)
+    return LaneStepOut(qpos=qpos_new, qvel=qvel_new, sensordata=sens, efc_force=f, cw_v=cw_v_out)

@@ -143,12 +143,17 @@ def _xla_step_fn(m: PhysicsModel, iterations: int | None, lipschitz: str = "cw")
     nefc = num_constraint_rows(m)
     ns = m.nsensordata
 
-    def step_fn(qpos, qvel, ctrl, f):
-        out = step_l(m, qpos, qvel, ctrl, f if nefc else None, solver_iterations=iterations, lipschitz=lipschitz)
+    def step_fn(qpos, qvel, ctrl, f, v):
+        out = step_l(
+            m, qpos, qvel, ctrl, f if nefc else None,
+            solver_iterations=iterations, lipschitz=lipschitz,
+            cw_v=v if nefc else None,
+        )
         B = qpos.shape[-1]
         sens = out.sensordata if ns else jnp.zeros((1, B), qpos.dtype)
         fo = out.efc_force if nefc else jnp.zeros((1, B), qpos.dtype)
-        return out.qpos, out.qvel, sens, fo
+        vo = out.cw_v if nefc else jnp.zeros((1, B), qpos.dtype)
+        return out.qpos, out.qvel, sens, fo, vo
 
     return step_fn
 
@@ -184,7 +189,7 @@ def _build_fused_rollout(
     nu_ = max(nu, 1)
     ns_ = max(ns, 1)
 
-    def kernel(qpos_ref, qvel_ref, ctrl_ref, oq_ref, ov_ref, os_ref, qp_s, qv_s, f_s):
+    def kernel(qpos_ref, qvel_ref, ctrl_ref, oq_ref, ov_ref, os_ref, qp_s, qv_s, f_s, v_s):
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -192,8 +197,9 @@ def _build_fused_rollout(
             qp_s[:] = qpos_ref[:]
             qv_s[:] = qvel_ref[:]
             f_s[:] = jnp.zeros_like(f_s)
+            v_s[:] = jnp.ones_like(v_s)  # CW probe: any positive start is valid
 
-        qp, qv, f = qp_s[:], qv_s[:], f_s[:]
+        qp, qv, f, v = qp_s[:], qv_s[:], f_s[:], v_s[:]
         ctrl = ctrl_ref[0]
         sens = None
         for _ in range(substeps):
@@ -202,12 +208,15 @@ def _build_fused_rollout(
                 f if nefc else None,
                 solver_iterations=iterations,
                 lipschitz=lipschitz,
+                cw_v=v if nefc else None,
             )
             qp, qv, sens = out.qpos, out.qvel, out.sensordata
             f = out.efc_force if nefc else f
+            v = out.cw_v if nefc else v
         qp_s[:] = qp
         qv_s[:] = qv
         f_s[:] = f
+        v_s[:] = v
         oq_ref[0] = qp
         ov_ref[0] = qv
         os_ref[0] = sens if ns else jnp.zeros_like(os_ref[0])
@@ -238,6 +247,7 @@ def _build_fused_rollout(
             pltpu.VMEM((nq, tile), dtype),
             pltpu.VMEM((nv, tile), dtype),
             pltpu.VMEM((nefc_, tile), dtype),
+            pltpu.VMEM((nefc_, tile), dtype),  # carried CW probe vector
         ]
         return pl.pallas_call(
             kernel,
@@ -307,15 +317,16 @@ def rollout_lanes(
     elif backend == "xla":
         step_fn = _xla_step_fn(m, iterations, lipschitz=lipschitz)
         f0 = jnp.zeros((max(nefc, 1), B), dtype)
+        v0 = jnp.ones((max(nefc, 1), B), dtype)  # carried CW probe
 
         def body(carry, ctrl_t):
-            qp, qv, f = carry
+            qp, qv, f, v = carry
             sens = None
             for _ in range(physics_substeps):
-                qp, qv, sens, f = step_fn(qp, qv, ctrl_t, f)
-            return (qp, qv, f), (qp, qv, sens)
+                qp, qv, sens, f, v = step_fn(qp, qv, ctrl_t, f, v)
+            return (qp, qv, f, v), (qp, qv, sens)
 
-        (_, _, _), (qps, qvs, senss) = jax.lax.scan(body, (qp, qv, f0), ct)
+        (_, _, _, _), (qps, qvs, senss) = jax.lax.scan(body, (qp, qv, f0, v0), ct)
     else:  # pragma: no cover
         raise ValueError(f"unknown lane backend {backend!r}")
 

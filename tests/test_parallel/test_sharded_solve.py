@@ -75,6 +75,32 @@ def test_sharded_solve_spot_policy_path():
     )
 
 
+def test_sharded_lanes_backend_matches_unsharded():
+    """The production lanes formulation under the mesh: shard_map runs the
+    lane rollout per-shard (VERDICT r3 item 4 — no more vmap fallback on
+    multi-device meshes). Uses the xla lane backend (CPU form of the same
+    step_l numerics the Pallas kernel compiles)."""
+    mesh = make_rollout_mesh(8)
+
+    def run(mesh_):
+        np.random.seed(1234)
+        task_cls, _ = get_registered_tasks()["cylinder_push"]
+        task = task_cls()
+        opt = MPPI(MPPIConfig(num_rollouts=16, num_nodes=4, sigma=0.2), task.nu)
+        cc = ControllerConfig(horizon=0.1, spline_order="zero")
+        c = Controller(cc, task, opt, rollout_backend="lanes_xla", mesh=mesh_)
+        c.update_action()
+        return c
+
+    ref = run(None)
+    sh = run(mesh)
+    np.testing.assert_allclose(sh.rewards, ref.rewards, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(sh.nominal_knots, ref.nominal_knots, rtol=1e-6, atol=1e-8)
+    sharding = sh.last_outputs.states.sharding
+    assert isinstance(sharding, NamedSharding)
+    assert sharding.spec[0] == ROLLOUT_AXIS
+
+
 def test_solve_outputs_actually_sharded():
     """The candidate batch is partitioned over the mesh — this is the test
     that fails if the with_sharding_constraint in Controller._build_solve is
