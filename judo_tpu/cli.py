@@ -136,6 +136,13 @@ def _cmd_benchmark(args: argparse.Namespace) -> None:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="judo-tpu", description="TPU-native sampling-based MPC")
+    p.add_argument(
+        "--platform",
+        default="",
+        choices=["", "cpu", "tpu"],
+        help="force the jax backend (jax.config route — env vars are read "
+        "before some launcher sitecustomize hooks can be overridden)",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     run = sub.add_parser("run", help="closed-loop sim + controller")
@@ -158,6 +165,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main() -> None:
     args = build_parser().parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.func(args)
 
 

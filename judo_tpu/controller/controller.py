@@ -52,8 +52,8 @@ class ControllerConfig(OverridableConfig):
     # APGD budget for the lanes physics path (None = the model's own solver
     # iterations). The preconditioned CW-bounded solver tracks a converged
     # reference to ~2e-5 at 8 warm-started iterations on the leap scene
-    # (tests/test_physics/test_solver_quality.py); 12 leaves safety margin.
-    solver_iterations: int | None = 12
+    # (tests/test_physics/test_solver_quality.py); 10 leaves safety margin.
+    solver_iterations: int | None = 10
     # >0: pipeline the solve — update_action dispatches the new solve before
     # syncing the previous one's outputs (host mirrors lag by `depth` solves;
     # the on-device carry chains without host sync, so the optimization state

@@ -92,7 +92,7 @@ def build_fr3_pick_xml() -> str:
     return f"""
 <mujoco model="fr3_pick_tpu">
   <compiler angle="radian" autolimits="true"/>
-  <option timestep="0.01" integrator="implicitfast"/>
+  <option timestep="0.004" integrator="implicitfast" impratio="10.0"/>
   <default>
     <default class="collision"><geom group="3" friction="0.6"/></default>
     <default class="finger_coll"><geom group="3" friction="1.2 0.05 0.001"/></default>

@@ -99,26 +99,35 @@ def kb_from_solref_np(solref: np.ndarray, solimp: np.ndarray, timestep: float) -
 
 
 def jt_vec_chunked(J: jnp.ndarray, f: jnp.ndarray, C: int = 32) -> jnp.ndarray:
-    """J^T f: (nefc, nv, B), (nefc, B) -> (nv, B) in row chunks (VMEM-bounded).
+    """J^T f: (nefc, nv, B), (nefc, B) -> (nv, B).
 
-    Chunk partials combine in a balanced tree (see lane_engine.usum): linear
-    accumulation would serialize the chunks at per-op latency."""
-    nefc = J.shape[0]
-    terms = [
-        usum(J[r0 : r0 + C] * f[r0 : r0 + C][:, None, :], 0) for r0 in range(0, nefc, C)
-    ]
-    while len(terms) > 1:
-        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
-        if len(terms) % 2:
-            nxt.append(terms[-1])
-        terms = nxt
-    return terms[0]
+    One full-product NATIVE reduction (jnp.sum / vector.multi_reduction): the
+    (nefc, nv, B) product peaks at 2.6 MB f32 per 128-lane tile on leap —
+    comfortably inside the kernel's 100 MB VMEM budget — and the native
+    reduce is ~3x faster than chunk-unrolled adds at these shapes
+    (scratch/r4_reduce_micro.py; end-to-end iteration slope 11.5 -> 5.5
+    us/step). Mosaic's ADD multi_reduction requires zero layout offsets
+    over the reduced dims, and products whose nv is below one sublane
+    granule (< 8 — e.g. cylinder_push's nv=4) pick offset layouts and fail
+    to lower: those fall back to the tree-unrolled sum (cheap at that
+    size). ``C`` kept for signature compatibility."""
+    del C
+    if J.shape[1] >= 8:
+        return jnp.sum(J * f[:, None, :], axis=0)
+    return usum(J * f[:, None, :], 0)
 
 
 def j_vec_chunked(J: jnp.ndarray, v: jnp.ndarray, C: int = 32) -> jnp.ndarray:
-    """J v: (nefc, nv, B), (nv, B) -> (nefc, B) in row chunks (VMEM-bounded)."""
-    nefc = J.shape[0]
-    return jnp.concatenate([usum(J[r0 : r0 + C] * v[None, :, :], 1) for r0 in range(0, nefc, C)], axis=0)
+    """J v: (nefc, nv, B), (nv, B) -> (nefc, B) (see jt_vec_chunked).
+
+    Mosaic's ADD multi_reduction requires zero layout offsets over the
+    reduced dim; products with nv < 8 (under one sublane granule — e.g.
+    cylinder_push's nv=4) pick offset layouts and fail to lower, so those
+    fall back to the tree-unrolled sum (they're cheap at that size anyway)."""
+    del C
+    if J.shape[1] >= 8:
+        return jnp.sum(J * v[None, :, :], axis=1)
+    return usum(J * v[None, :, :], 1)
 
 
 class LaneRows(NamedTuple):
@@ -304,6 +313,7 @@ def solve_dual_qp_l(
     mus: list | None = None,
     diag: jnp.ndarray | None = None,
     cw_v: jnp.ndarray | None = None,
+    in_pallas: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """min_{f in K} 0.5 f^T (J M^-1 J^T + diag(reg)) f + f^T b, APGD in lanes.
 
@@ -317,24 +327,16 @@ def solve_dual_qp_l(
     elliptic rows [normals | t1s | t2s] starting at ``ncon_start`` — the
     projection is three static slices + elementwise math (Mosaic-safe).
 
-    Matches solver.solve_dual_qp_matfree: K = M^-1 J^T is materialized (in
-    nefc-chunks to bound intermediate size) so the Lipschitz constant is the
-    reference's two-factor Hoelder bound sqrt(||J||_1 ||J||_inf) *
-    sqrt(||K||_1 ||K||_inf) — bounding via ||J||^2 ||M^-1|| instead is ~100x
-    looser on contact scenes (measured) and APGD stops converging in any
-    realistic iteration budget. Iterations run in a fori_loop so kernel code
-    size is independent of the iteration count.
+    ``in_pallas``: pin the scaled J in an EXPLICIT VMEM scratch buffer
+    (pl.run_scoped). Left as an SSA value, Mosaic parks the ~2.6 MB array in
+    HBM under the full step's pressure and every APGD iteration re-streams
+    it twice — measured 5.5 us/iteration, exactly 2 x 2.6 MB / HBM BW,
+    versus ~0.2 us for the same body with J resident
+    (scratch/r4_reduce_micro*.py). Reading the ref at each use keeps the
+    loop on VMEM bandwidth.
     """
     dtype = b.dtype
     nefc, nv = J.shape[0], J.shape[1]
-
-    # Contractions over nefc are CHUNKED: whole-row products form
-    # (nefc, nv, B) scratch that blows the 16 MB VMEM scoped limit at
-    # leap_cube sizes (measured 27 MB); per-chunk scratch is C*nv*B floats.
-    # K = M^-1 J^T is NEVER materialized (that alone is nefc*nv*B floats plus
-    # 4D build temporaries — 11+ MB at leap_cube sizes): apply_A is fully
-    # matrix-free (J^T f -> M^-1 -> J v) and the Lipschitz norms of K are
-    # accumulated chunk-by-chunk with the chunks discarded.
     C = 32
 
     # minv may be a block-diagonal dof-island decomposition (lane_engine
@@ -363,12 +365,6 @@ def solve_dual_qp_l(
     reg = reg * inv_s * inv_s
     b = b * inv_s
 
-    # NOTE on slicing style: `f[None, r0:r0+C]` lowers to a gather, which
-    # Mosaic rejects inside the fori_loop body ("Shape mismatch in input,
-    # indices and output"); `f[r0:r0+C][:, None]` is a plain lax.slice.
-    def apply_A(f):
-        return j_vec_chunked(J, minv_mv(jt_vec_chunked(J, f, C)), C) + reg * f
-
     if mus:
         from judo_tpu.physics.lane_engine import const_col
 
@@ -393,96 +389,108 @@ def solve_dual_qp_l(
         def project(z):
             return jnp.maximum(z, 0.0)
 
-    cw_v_out = jnp.ones_like(b) if cw_v is None else cw_v
-    if lipschitz == "cw":
-        # Collatz-Wielandt upper bound (the default; see
-        # solver.solve_dual_qp_matfree): with B := |J| |M^-1| |J|^T +
-        # diag(reg) (entrywise abs; J/reg already Jacobi-scaled below),
-        # |A| <= B entrywise so lambda_max(A) <= rho(B) <= max_i (Bv)_i/v_i
-        # for any positive v — a GUARANTEED bound, measured 1.5-2.6x
-        # lambda_max vs 31-74x for the Hoelder norms (~20x more APGD step
-        # per iteration).
-        #
-        # When ``cw_v`` is carried across physics steps (the rollout paths),
-        # ONE apply refines it per step — the carry IS a power iteration
-        # distributed over time, converging to B's Perron vector while every
-        # intermediate still yields a valid bound (CW holds for ANY positive
-        # v). Cold calls (cw_v=None) pay 3 warmup applies first.
-        aJ = jnp.abs(J)
+    def core(get_J):
+        def apply_A(f):
+            Jr = get_J()
+            return j_vec_chunked(Jr, minv_mv(jt_vec_chunked(Jr, f, C)), C) + reg * f
 
-        def apply_B(v):
-            return j_vec_chunked(aJ, aminv_mv(jt_vec_chunked(aJ, v, C)), C) + reg * v
+        cw_v_out = jnp.ones_like(b) if cw_v is None else cw_v
+        if lipschitz == "cw":
+            # Collatz-Wielandt upper bound: with B := |J| |M^-1| |J|^T +
+            # diag(reg) (entrywise abs; J/reg already Jacobi-scaled above),
+            # |A| <= B entrywise so lambda_max(A) <= rho(B) <= max_i
+            # (Bv)_i/v_i for any positive v — a GUARANTEED bound, measured
+            # 1.5-2.6x lambda_max vs 31-74x for the Hoelder norms.
+            #
+            # With ``cw_v`` carried across physics steps (the rollout paths),
+            # ONE apply refines it per step — a power iteration distributed
+            # over time, converging to B's Perron vector while every
+            # intermediate still yields a valid bound (CW holds for ANY
+            # positive v). Cold calls (cw_v=None) pay 3 warmup applies.
+            def apply_B(v):
+                aJ = jnp.abs(get_J())
+                return j_vec_chunked(aJ, aminv_mv(jt_vec_chunked(aJ, v, C)), C) + reg * v
 
-        if cw_v is None:
-            v = jnp.ones_like(b)
-            for _ in range(3):
-                bv = apply_B(v)
-                nrm = jax.lax.rsqrt(jnp.maximum(usum(bv * bv, 0), _MINVAL))
-                v = bv * nrm[None]
-        else:
-            # carried probe: keep it positive and normalized (guards against
-            # accumulated underflow in long rollouts)
-            nrm = jax.lax.rsqrt(jnp.maximum(usum(cw_v * cw_v, 0), _MINVAL))
-            v = jnp.maximum(cw_v * nrm[None], 1e-7)
-        bv = apply_B(v)
-        L = jnp.max(bv / jnp.maximum(v, 1e-12), axis=0)  # (B,)
-        nrm = jax.lax.rsqrt(jnp.maximum(usum(bv * bv, 0), _MINVAL))
-        cw_v_out = bv * nrm[None]
-    elif lipschitz == "power":
-        # from-below norm-ratio estimate x1.25 — NOT a valid bound; diverges
-        # on stiff scenes (measured). Kept for experiments only.
-        v = jnp.maximum(jnp.abs(b), 1e-3)
-        lam = jnp.ones(b.shape[-1], dtype)
-        for _ in range(4):
-            av = apply_A(v)
-            nrm_av = jnp.sqrt(jnp.maximum(usum(av * av, 0), _MINVAL))
-            nrm_v = jnp.sqrt(jnp.maximum(usum(v * v, 0), _MINVAL))
-            lam = nrm_av / nrm_v  # ||Av||/||v|| <= lambda_max for PSD A
-            v = av / nrm_av[None]
-        L = 1.25 * jnp.maximum(lam, _MINVAL) + jnp.max(reg, axis=0)
-    else:  # "holder": the reference two-factor bound (always valid)
-        assert dense_minv, "holder Lipschitz needs a dense minv (pass lipschitz='cw' for blocks)"
+            if cw_v is None:
+                v = jnp.ones_like(b)
+                for _ in range(3):
+                    bv = apply_B(v)
+                    nrm = jax.lax.rsqrt(jnp.maximum(usum(bv * bv, 0), _MINVAL))
+                    v = bv * nrm[None]
+            else:
+                # carried probe: keep it positive and normalized (guards
+                # against accumulated underflow in long rollouts)
+                nrm = jax.lax.rsqrt(jnp.maximum(usum(cw_v * cw_v, 0), _MINVAL))
+                v = jnp.maximum(cw_v * nrm[None], 1e-7)
+            bv = apply_B(v)
+            L = jnp.max(bv / jnp.maximum(v, 1e-12), axis=0)  # (B,)
+            nrm = jax.lax.rsqrt(jnp.maximum(usum(bv * bv, 0), _MINVAL))
+            cw_v_out = bv * nrm[None]
+        elif lipschitz == "power":
+            # from-below norm-ratio estimate x1.25 — NOT a valid bound;
+            # diverges on stiff scenes (measured). Experiments only.
+            v = jnp.maximum(jnp.abs(b), 1e-3)
+            lam = jnp.ones(b.shape[-1], dtype)
+            for _ in range(4):
+                av = apply_A(v)
+                nrm_av = jnp.sqrt(jnp.maximum(usum(av * av, 0), _MINVAL))
+                nrm_v = jnp.sqrt(jnp.maximum(usum(v * v, 0), _MINVAL))
+                lam = nrm_av / nrm_v  # ||Av||/||v|| <= lambda_max for PSD A
+                v = av / nrm_av[None]
+            L = 1.25 * jnp.maximum(lam, _MINVAL) + jnp.max(reg, axis=0)
+        else:  # "holder": the reference two-factor bound (always valid)
+            assert dense_minv, "holder Lipschitz needs a dense minv (use lipschitz='cw' for blocks)"
+            Jh = get_J()
 
-        def ob(mat, row_axis, col_axis):
-            l1 = jnp.max(usum(jnp.abs(mat), row_axis), axis=0)  # (B,)
-            linf = jnp.max(usum(jnp.abs(mat), col_axis), axis=0)
-            return jnp.sqrt(jnp.maximum(l1 * linf, _MINVAL))
+            def ob(mat, row_axis, col_axis):
+                l1 = jnp.max(usum(jnp.abs(mat), row_axis), axis=0)  # (B,)
+                linf = jnp.max(usum(jnp.abs(mat), col_axis), axis=0)
+                return jnp.sqrt(jnp.maximum(l1 * linf, _MINVAL))
 
-        # ||K||_1 / ||K||_inf accumulated over row chunks of K^T = M^-1 J^T,
-        # built by explicit rank-1 accumulation so the largest temp is (nv, C, B).
-        B_ = b.shape[-1]
-        row_abs_sum = jnp.zeros((nv, B_), dtype)  # sum_r |K[k, r]| per k
-        col_max = jnp.zeros(B_, dtype)  # max_r sum_k |K[k, r]|
-        for r0 in range(0, nefc, C):
-            Jc = J[r0 : r0 + C]  # (c, nv, B)
-            Kc = None  # (nv, c, B) = M^-1 J[r0:r0+C]^T
-            for k in range(nv):
-                t = minv[:, k, :][:, None, :] * Jc[:, k, :][None, :, :]
-                Kc = t if Kc is None else Kc + t
-            aK = jnp.abs(Kc)
-            row_abs_sum = row_abs_sum + usum(aK, 1)
-            col_max = jnp.maximum(col_max, jnp.max(usum(aK, 0), axis=0))
-        obK = jnp.sqrt(jnp.maximum(jnp.max(row_abs_sum, axis=0) * col_max, _MINVAL))
+            B_ = b.shape[-1]
+            row_abs_sum = jnp.zeros((nv, B_), dtype)  # sum_r |K[k, r]| per k
+            col_max = jnp.zeros(B_, dtype)  # max_r sum_k |K[k, r]|
+            for r0 in range(0, nefc, C):
+                Jc = Jh[r0 : r0 + C]  # (c, nv, B)
+                Kc = None  # (nv, c, B) = M^-1 J[r0:r0+C]^T
+                for k in range(nv):
+                    t = minv[:, k, :][:, None, :] * Jc[:, k, :][None, :, :]
+                    Kc = t if Kc is None else Kc + t
+                aK = jnp.abs(Kc)
+                row_abs_sum = row_abs_sum + usum(aK, 1)
+                col_max = jnp.maximum(col_max, jnp.max(usum(aK, 0), axis=0))
+            obK = jnp.sqrt(jnp.maximum(jnp.max(row_abs_sum, axis=0) * col_max, _MINVAL))
 
-        L = ob(J, 0, 1) * obK + jnp.max(reg, axis=0)
-    step = 1.0 / jnp.maximum(L, _MINVAL)  # (B,)
+            L = ob(Jh, 0, 1) * obK + jnp.max(reg, axis=0)
+        step = 1.0 / jnp.maximum(L, _MINVAL)  # (B,)
 
-    f0 = jnp.zeros_like(b) if f_warm is None else project(f_warm / jnp.maximum(inv_s, _MINVAL))
+        f0 = jnp.zeros_like(b) if f_warm is None else project(f_warm / jnp.maximum(inv_s, _MINVAL))
 
-    def body(_, carry):
-        f, y, t = carry
-        grad = apply_A(y) + b
-        f_new = project(y - step[None] * grad)
-        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-        y_new = f_new + ((t - 1.0) / t_new)[None] * (f_new - f)
-        restart = usum(grad * (f_new - f), 0) > 0  # (B,)
-        y_new = jnp.where(restart[None], f_new, y_new)
-        t_new = jnp.where(restart, jnp.ones_like(t_new), t_new)
-        return (f_new, y_new, t_new)
+        def body(_, carry):
+            f, y, t = carry
+            grad = apply_A(y) + b
+            f_new = project(y - step[None] * grad)
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            y_new = f_new + ((t - 1.0) / t_new)[None] * (f_new - f)
+            restart = usum(grad * (f_new - f), 0) > 0  # (B,)
+            y_new = jnp.where(restart[None], f_new, y_new)
+            t_new = jnp.where(restart, jnp.ones_like(t_new), t_new)
+            return (f_new, y_new, t_new)
 
-    t0 = jnp.ones(b.shape[-1], dtype)
-    f, _, _ = jax.lax.fori_loop(0, iterations, body, (f0, f0, t0))
-    return f * inv_s, cw_v_out  # un-scale: g -> f
+        t0 = jnp.ones(b.shape[-1], dtype)
+        f, _, _ = jax.lax.fori_loop(0, iterations, body, (f0, f0, t0))
+        return f * inv_s, cw_v_out  # un-scale: g -> f
+
+    if in_pallas:
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def _scoped(J_ref):
+            J_ref[:] = J
+            return core(lambda: J_ref[:])
+
+        return pl.run_scoped(_scoped, pltpu.VMEM(J.shape, dtype))
+    return core(lambda: J)
 
 
 def implicit_damping_np(m: PhysicsModel) -> np.ndarray:
@@ -667,6 +675,7 @@ def step_l(
     solver_iterations: int | None = None,
     lipschitz: str = "cw",
     cw_v: jnp.ndarray | None = None,  # (nefc, B) carried CW probe
+    in_pallas: bool = False,  # inside a Mosaic kernel: pin J in VMEM scratch
 ) -> LaneStepOut:
     """One mj_step, batch-last — semantics of step.step_with_forward with
     exact per-step inverses (cold path)."""
@@ -717,6 +726,7 @@ def step_l(
         f, cw_v_out = solve_dual_qp_l(
             J, minv, reg, b, iters, f_warm, lipschitz,
             ncon_start=num_noncontact_rows(m), mus=mus, diag=diag, cw_v=cw_v,
+            in_pallas=in_pallas,
         )
         qacc = qacc_smooth + minv_mv(jt_vec_chunked(J, f))
     else:

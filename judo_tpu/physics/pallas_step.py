@@ -85,6 +85,7 @@ def _build_pallas_step(m: PhysicsModel, iterations: int | None, interpret: bool,
             f_ref[:] if nefc else None,
             solver_iterations=iterations,
             lipschitz=lipschitz,
+            in_pallas=not interpret,
         )
         oq_ref[:] = out.qpos
         ov_ref[:] = out.qvel
@@ -209,6 +210,7 @@ def _build_fused_rollout(
                 solver_iterations=iterations,
                 lipschitz=lipschitz,
                 cw_v=v if nefc else None,
+                in_pallas=not interpret,
             )
             qp, qv, sens = out.qpos, out.qvel, out.sensordata
             f = out.efc_force if nefc else f

@@ -63,6 +63,10 @@ def widget_to_dict(w: WidgetSpec) -> dict:
         "step": w.step,
         "options": w.options,
         "children": [widget_to_dict(c) for c in w.children],
+        # goal-marker metadata (np_1d_field xyz_vis_indices): the client
+        # renders these arrays as draggable 3D markers (judo/gui.py:269-316)
+        "element_names": w.element_names,
+        "xyz_vis_indices": w.xyz_vis_indices,
     }
 
 

@@ -110,3 +110,33 @@ def test_visualizer_reset_and_pause_topics():
     viz.pause_simulation()
     assert bus.read("task_reset") is True
     assert bus.read("sim_pause") is True
+
+
+def test_goal_marker_protocol_roundtrip():
+    """The draggable goal-marker flow at the protocol level (VERDICT r4):
+
+    np_1d_field(xyz_vis_indices=...) must survive reflection and wire
+    serialization (so the client can place the marker), and the exact
+    {"type": "set"} element write a marker drag emits must land in the
+    config array — the same path the reference's icosphere callbacks use
+    (judo/gui.py:269-316).
+    """
+    from judo_tpu.tasks.cylinder_push import CylinderPushConfig
+    from judo_tpu.visualizers.server import widget_to_dict
+
+    cfg = CylinderPushConfig()
+    specs = reflect_config(cfg)
+    goal = next(s for s in specs if s.name == "goal_pos")
+    assert goal.kind == "array"
+    assert goal.xyz_vis_indices == [0, 1, None]
+
+    # wire form carries the indices for the client
+    wire = widget_to_dict(goal)
+    assert wire["xyz_vis_indices"] == [0, 1, None]
+
+    # a drag to world (0.31, -0.2) sends per-element set messages
+    binding = ConfigBinding(cfg)
+    binding.set_value(("goal_pos", "0"), 0.31)
+    binding.set_value(("goal_pos", "1"), -0.2)
+    np.testing.assert_allclose(cfg.goal_pos, [0.31, -0.2])
+    assert binding.changed.is_set()  # consuming node republishes the config
