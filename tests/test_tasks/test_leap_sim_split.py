@@ -20,7 +20,9 @@ def task():
 def test_sim_model_is_higher_fidelity(task):
     assert task.sim_model is not task.model
     assert float(task.model.opt.timestep) == pytest.approx(0.01)
-    assert float(task.sim_model.opt.timestep) == pytest.approx(0.005)
+    # 5x finer than the planner — the reference's fidelity ratio
+    # (leap_components/params_and_default_sim.xml: 0.002 vs 0.01)
+    assert float(task.sim_model.opt.timestep) == pytest.approx(0.002)
     # same articulation: state/ctrl layouts must line up for the app loop
     assert task.sim_model.nq == task.model.nq
     assert task.sim_model.nv == task.model.nv
