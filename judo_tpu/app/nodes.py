@@ -101,18 +101,64 @@ class SimulationNode:
 
 class ControllerNode:
     """Controller loop at control_freq: consume states, plan, publish spline +
-    plan_time + traces (dora/controller.py:126-157)."""
+    plan_time + traces (dora/controller.py:126-157).
 
-    def __init__(self, bus: MessageBus, init_task: str, init_optimizer: str) -> None:
+    ``mesh`` (``none``/``auto``/``hybrid`` or a ``jax.sharding.Mesh``) shards
+    the candidate batch over a device mesh — the app-layer entry to multi-chip
+    planning (the reference's analogue is the GUI-resizable rollout thread
+    pool, judo/utils/rollout_backend.py:10-47).
+
+    Task/optimizer switches build + warm-compile the NEW controller on a
+    worker thread while the old one keeps planning, then swap it in — the
+    control loop never blocks on XLA compiles (the reference switches
+    in-place in milliseconds because libmujoco needs no compile; on TPU the
+    same UX needs the background warmup). ``join_switch()`` waits for the
+    swap (tests, scripted runs)."""
+
+    def __init__(
+        self, bus: MessageBus, init_task: str, init_optimizer: str, mesh=None
+    ) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from judo_tpu.parallel.mesh import resolve_mesh
+
         self.bus = bus
-        self.controller: Controller = make_controller(init_task, init_optimizer)
+        self.mesh = resolve_mesh(mesh)
+        self.controller: Controller = make_controller(init_task, init_optimizer, mesh=self.mesh)
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self._paused = False
+        self._swapper = ThreadPoolExecutor(max_workers=1, thread_name_prefix="judo-swap")
+        self._swap_future = None
+        self._swap_gen = 0
         bus.subscribe("task", self._on_task)
         bus.subscribe("optimizer", self._on_optimizer)
         bus.subscribe("task_reset", self._on_reset)
         bus.subscribe("controller_pause", self._on_pause)
+
+    def _submit_swap(self, build) -> None:
+        """Run ``build()`` (Controller construction + warm compile) on the
+        worker; swap the result in unless a newer switch superseded it."""
+        self._swap_gen += 1
+        gen = self._swap_gen
+
+        def job():
+            try:
+                new_controller = build()
+            except Exception as e:  # noqa: BLE001 — a failed switch must not kill the loop
+                warnings.warn(f"controller switch failed: {e}", stacklevel=1)
+                return
+            with self._lock:
+                if gen == self._swap_gen:  # latest request wins
+                    self.controller = new_controller
+
+        self._swap_future = self._swapper.submit(job)
+
+    def join_switch(self, timeout: float | None = None) -> None:
+        """Block until an in-flight task/optimizer switch has been applied."""
+        f = self._swap_future
+        if f is not None:
+            f.result(timeout=timeout)
 
     def _on_task(self, name: str) -> None:
         with self._lock:
@@ -121,14 +167,24 @@ class ControllerNode:
                 warnings.warn(f"unknown task '{name}'", stacklevel=1)
                 return
             task_cls, _ = entry
-            task = task_cls()
             opt_cls = type(self.controller.optimizer)
-            opt_cfg = type(self.controller.optimizer.config)()
+            opt_cfg_cls = type(self.controller.optimizer.config)
+            cfg_cls = type(self.controller.controller_cfg)
+            mesh = self.mesh
+
+        def build() -> Controller:
+            task = task_cls()
+            opt_cfg = opt_cfg_cls()
             opt_cfg.set_override(name)
             optimizer = opt_cls(opt_cfg, task.nu)
-            cfg = type(self.controller.controller_cfg)()
+            cfg = cfg_cls()
             cfg.set_override(name)
-            self.controller = Controller(cfg, task, optimizer)
+            c = Controller(cfg, task, optimizer, mesh=mesh)
+            c.update_action()  # warm compile off the control loop
+            c.reset()
+            return c
+
+        self._submit_swap(build)
 
     def _on_optimizer(self, name: str) -> None:
         with self._lock:
@@ -138,11 +194,18 @@ class ControllerNode:
                 return
             opt_cls, opt_cfg_cls = entry
             task = self.controller.task
+            cfg = self.controller.controller_cfg
+            mesh = self.mesh
+
+        def build() -> Controller:
             opt_cfg = opt_cfg_cls()
             opt_cfg.set_override(task.name)
-            self.controller = Controller(
-                self.controller.controller_cfg, task, opt_cls(opt_cfg, task.nu)
-            )
+            c = Controller(cfg, task, opt_cls(opt_cfg, task.nu), mesh=mesh)
+            c.update_action()
+            c.reset()
+            return c
+
+        self._submit_swap(build)
 
     def _on_reset(self, _msg: Any) -> None:
         with self._lock:

@@ -57,13 +57,15 @@ def apply_launch_config(args: argparse.Namespace) -> None:
             set_config_overrides(task_name, entry[1], dict(values))
 
     # YAML values are defaults; explicit CLI flags (non-default) win
-    defaults = {"task": "cylinder_push", "optimizer": "ps", "sim_backend": "mujoco"}
+    defaults = {"task": "cylinder_push", "optimizer": "ps", "sim_backend": "mujoco", "mesh": "none"}
     if cfg.get("task") and args.task == defaults["task"]:
         args.task = cfg["task"]
     if cfg.get("optimizer") and args.optimizer == defaults["optimizer"]:
         args.optimizer = cfg["optimizer"]
     if cfg.get("simulation_backend") and args.sim_backend == defaults["sim_backend"]:
         args.sim_backend = cfg["simulation_backend"]
+    if cfg.get("mesh") and getattr(args, "mesh", "none") == defaults["mesh"]:
+        args.mesh = cfg["mesh"]
 
 
 def _cmd_run(args: argparse.Namespace) -> None:
@@ -73,7 +75,13 @@ def _cmd_run(args: argparse.Namespace) -> None:
     apply_launch_config(args)
     bus = MessageBus()
     sim_node = SimulationNode(bus, args.task, backend=args.sim_backend)
-    ctrl_node = ControllerNode(bus, args.task, args.optimizer)
+    ctrl_node = ControllerNode(bus, args.task, args.optimizer, mesh=args.mesh)
+    if ctrl_node.mesh is not None:
+        print(
+            f"mesh: sharding {ctrl_node.controller.optimizer_cfg.num_rollouts} rollouts "
+            f"over {ctrl_node.mesh.devices.size} devices {ctrl_node.mesh.shape}",
+            flush=True,
+        )
 
     # Pre-warm BEFORE starting the paced threads (the analogue of the
     # reference's _warm_caches, judo/cli.py:126-141): the first solve triggers
@@ -149,6 +157,13 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--task", default="cylinder_push")
     run.add_argument("--optimizer", default="ps")
     run.add_argument("--sim-backend", default="mujoco")
+    run.add_argument(
+        "--mesh",
+        default="none",
+        help="shard the rollout batch over a device mesh: none|auto|hybrid "
+        "(auto = all visible devices; hybrid = (hosts, devices/host) after "
+        "jax.distributed bootstrap)",
+    )
     run.add_argument("--config", default="", help="YAML launch config (see example_configs/)")
     run.add_argument("--seconds", type=float, default=10.0, help="<=0 runs until Ctrl+C")
     run.add_argument("--gui", action="store_true", help="serve the browser GUI/renderer")

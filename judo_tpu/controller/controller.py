@@ -250,15 +250,16 @@ class Controller:
         """
         choice = self.rollout_backend
         if choice in ("auto", "judo_tpu"):
-            if self.task.uses_locomotion_policy:
-                return "vmap"
             from judo_tpu.physics.pallas_step import lane_supported
 
             if not lane_supported(self.pm):
                 return "vmap"
             if jax.default_backend() == "tpu":
                 # under a multi-device mesh the lanes kernel runs per-shard
-                # via shard_map (see _build_solve) — no vmap fallback
+                # via shard_map (see _build_solve) — no vmap fallback.
+                # Locomotion-policy tasks use the fused policy rollout
+                # (pallas_step.policy_rollout_lanes) — same kernel structure
+                # with the MLP folded in.
                 return "lanes_pallas"
             return "vmap"
         return choice
@@ -383,7 +384,49 @@ class Controller:
 
                 # roll out dynamics (:267-271): vmap over the candidate batch
                 sim_controls = task.task_to_sim_ctrl(rollout_controls)
-                if uses_policy:
+                if uses_policy and lane_backend is not None:
+                    # fused policy-in-the-loop lanes kernel: obs -> MLP ->
+                    # ctrl -> substeps physics, whole horizon in ONE kernel
+                    # (pallas_step._build_fused_policy_rollout). The TPU
+                    # answer to the reference's System::rollout C++ threads +
+                    # 125 ms cutoff watchdog (system_class.cpp:272-331).
+                    from judo_tpu.physics.pallas_step import policy_rollout_lanes
+
+                    R_ = sim_controls.shape[0]
+                    qp0 = jnp.broadcast_to(x0.qpos, (R_, pm.nq))
+                    qv0 = jnp.broadcast_to(x0.qvel, (R_, pm.nv))
+
+                    def policy_lanes_rollout(qp, qv, ct, po):
+                        out = policy_rollout_lanes(
+                            pm, spot_policy, qp, qv, ct, po,
+                            physics_substeps=substeps, iterations=solver_iters,
+                            backend=lane_backend,
+                        )
+                        return out.states, out.sensordata, out.final_policy_output
+
+                    if mesh is not None and mesh.devices.size > 1:
+                        # per-shard kernel, same scheme as the plain lanes
+                        # branch below (candidate batch over the mesh)
+                        from jax.sharding import PartitionSpec as P
+
+                        ndev = mesh.devices.size
+                        assert R_ % ndev == 0, (
+                            f"num_rollouts {R_} must divide over the "
+                            f"{ndev}-device mesh for the lanes backend"
+                        )
+                        bspec = P(tuple(mesh.axis_names))
+                        states, sensors, new_policy_output = jax.shard_map(
+                            policy_lanes_rollout,
+                            mesh=mesh,
+                            in_specs=(bspec, bspec, bspec, bspec),
+                            out_specs=(bspec, bspec, bspec),
+                            check_vma=False,
+                        )(qp0, qv0, sim_controls, carry.last_policy_output)
+                    else:
+                        states, sensors, new_policy_output = policy_lanes_rollout(
+                            qp0, qv0, sim_controls, carry.last_policy_output
+                        )
+                elif uses_policy:
                     from judo_tpu.tasks.spot.policy import policy_rollout
 
                     pout = carry.last_policy_output
@@ -608,8 +651,18 @@ class Controller:
             # consumes strictly in order; readers of the mirrors (action(),
             # spline_data) see a consistent snapshot via _mirror_lock.
             while len(self._pending) > depth:
-                item = self._pending.pop(0)
-                self._consume_futures.append(self._consumer.submit(self._consume, *item))
+                carry, outputs, merged_meta = self._pending.pop(0)
+                # post_rollout runs HERE on the main thread (it may mutate
+                # task state, which the main thread also reads when staging
+                # the next solve's args — advisor r4); only the blocking
+                # device->host mirror pull goes to the worker. Touching the
+                # device arrays does not synchronize (async dispatch).
+                self.task.post_rollout(
+                    outputs.states, outputs.sensors, outputs.rollout_controls, merged_meta
+                )
+                self._consume_futures.append(
+                    self._consumer.submit(self._consume_mirrors, carry, outputs)
+                )
             while len(self._consume_futures) > 2:  # bound the backlog
                 self._consume_futures.pop(0).result()
         t2 = _time.perf_counter()
@@ -624,11 +677,13 @@ class Controller:
         }
 
     def _consume(self, carry: SolverState, outputs: SolveOutputs, merged_meta: dict) -> None:
-        """Sync one solve's outputs into the host-side mirrors."""
+        """Sync one solve's outputs into the host-side mirrors (main thread)."""
         self.task.post_rollout(
             outputs.states, outputs.sensors, outputs.rollout_controls, merged_meta
         )
+        self._consume_mirrors(carry, outputs)
 
+    def _consume_mirrors(self, carry: SolverState, outputs: SolveOutputs) -> None:
         # ONE device->host pull of the packed mirror vector (device_get
         # itself waits for the solve, so no separate block_until_ready —
         # every extra sync is a transport round trip)
@@ -684,9 +739,15 @@ class Controller:
 
     def reset(self) -> None:
         """Reset task + solver state (controller.py:309-321)."""
-        # drop in-flight solves from a previous task/state
+        # drop in-flight solves from a previous task/state; a consume already
+        # EXECUTING on the worker cannot be cancelled and would publish
+        # pre-reset mirrors after this returns (advisor r4) — drain it
         for f in self._consume_futures:
-            f.cancel()
+            if not f.cancel():
+                try:
+                    f.result()
+                except Exception:  # noqa: BLE001 — a failed stale consume is moot
+                    pass
         self._consume_futures = []
         self._pending = []
         self.task.reset()
@@ -750,9 +811,18 @@ def make_controller(
     task_registration_cfg: dict | None = None,
     optimizer_registration_cfg: dict | None = None,
     rollout_backend: Literal["judo_tpu"] = "judo_tpu",
+    mesh=None,
 ) -> Controller:
-    """Instantiate a controller from registry names (controller.py:404-442)."""
+    """Instantiate a controller from registry names (controller.py:404-442).
+
+    ``mesh`` accepts ``None``/``"none"``, ``"auto"``, ``"hybrid"``, or a
+    ``jax.sharding.Mesh`` — the user-reachable parallelism knob (the
+    reference's analogue is the rollout thread-count resize,
+    judo/utils/rollout_backend.py:10-47). The candidate batch shards over the
+    mesh; ``num_rollouts`` must divide by the device count.
+    """
     from judo_tpu.app.utils import register_optimizers_from_cfg, register_tasks_from_cfg
+    from judo_tpu.parallel.mesh import resolve_mesh
 
     if task_registration_cfg is not None:
         register_tasks_from_cfg(task_registration_cfg)
@@ -782,4 +852,5 @@ def make_controller(
         task=task,
         optimizer=optimizer,
         rollout_backend=rollout_backend,
+        mesh=resolve_mesh(mesh),
     )

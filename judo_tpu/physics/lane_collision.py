@@ -1,10 +1,18 @@
-"""Static-shape collision narrowphase, batch-in-lanes layout.
+"""Static-shape collision narrowphase, batch-in-lanes layout, PAIR-STACKED.
 
 The lanes counterpart of collision.py / box_collision.py: identical contact
 semantics (same candidate pair list, same per-pair slot counts, same mixed
-contact parameters), with every geometric quantity shaped (…, B) so the whole
-narrowphase compiles into straight-line VPU code inside the Pallas step kernel
-(see lane_engine.py's module docstring for the layout rationale).
+contact parameters), with every geometric quantity shaped (P, ..., B): all
+same-type candidate pairs are processed by ONE kernel invocation on stacked
+tensors instead of a Python loop of per-pair (3, B) ops.
+
+Why stacked: inside the Pallas step a (3, B) op occupies 3 sublanes of one
+8x128 vreg and the per-pair loop serializes ~80 such ops x 15 box-box pairs
+into a >1000-op dependency chain; stacking pairs into the leading axis makes
+each op (P, 3, B) — P x fewer instructions, full-height vregs, and the
+per-pair chains run in parallel through the VPU pipeline. Measured on the
+leap_cube fused rollout this halves the collision+assembly stage cost
+(scratch/r5_fused_stage*.txt).
 
 Dynamic selections (SAT best axis, deepest-k points) are expressed as
 first-true / rank one-hot algebra over comparison masks — no argsort, no
@@ -20,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from judo_tpu.physics.lane_engine import LaneKin, l_cross, l_dot3, l_mat_t_vec, l_mat_vec, usum
+from judo_tpu.physics.lane_engine import l_cross, l_dot3, p_mat_t_vec, p_mat_vec, usum
 from judo_tpu.physics.model import (
     GEOM_BOX,
     GEOM_CAPSULE,
@@ -33,34 +41,39 @@ from judo_tpu.physics.model import (
 _BIG = 1e10
 
 
-class LaneContact(NamedTuple):
-    """One contact slot, batch-last; static metadata as plain Python."""
+class LaneContacts(NamedTuple):
+    """ALL contact slots stacked: arrays lead with the slot axis C; static
+    metadata as host-side tuples/np arrays (trace-time constants)."""
 
-    dist: jnp.ndarray  # (B,)
-    pos: jnp.ndarray  # (3, B)
-    normal: jnp.ndarray  # (3, B)
-    body1: int
-    body2: int
-    # static mixed parameters (mj_contactParam), host scalars
-    friction: float
-    solref: np.ndarray  # (2,)
-    solimp: np.ndarray  # (5,)
-    includemargin: float
+    dist: jnp.ndarray  # (C, B)
+    pos: jnp.ndarray  # (C, 3, B)
+    normal: jnp.ndarray  # (C, 3, B)
+    body1: tuple  # (C,) ints
+    body2: tuple  # (C,) ints
+    # static mixed parameters (mj_contactParam), host arrays
+    friction: np.ndarray  # (C,)
+    solref: np.ndarray  # (C, 2)
+    solimp: np.ndarray  # (C, 5)
+    includemargin: np.ndarray  # (C,)
+
+    @property
+    def ncon(self) -> int:
+        return len(self.body1)
 
 
 def _col(m3: jnp.ndarray, i: int) -> jnp.ndarray:
-    """Column i of a (3, 3, B) matrix -> (3, B)."""
-    return m3[:, i, :]
+    """Column i of a (..., 3, 3, B) matrix -> (..., 3, B)."""
+    return m3[..., :, i, :]
 
 
 def _safe_unit(v: jnp.ndarray, fallback: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
     n = jnp.sqrt(jnp.maximum(l_dot3(v, v), 1e-24))
-    unit = v / n[None]
-    return jnp.where((n > eps)[None], unit, fallback)
+    unit = v / n[..., None, :]
+    return jnp.where((n > eps)[..., None, :], unit, fallback)
 
 
 def first_true_onehot(masks: list) -> list:
-    """One-hot over a static list of (B,) bool masks: first True wins."""
+    """One-hot over a static list of bool masks: first True wins."""
     taken = jnp.zeros_like(masks[0], dtype=bool)
     out = []
     for mk in masks:
@@ -73,7 +86,7 @@ def first_true_onehot(masks: list) -> list:
 def _closest_seg_point(a: jnp.ndarray, b: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     ab = b - a
     t = jnp.clip(l_dot3(p - a, ab) / jnp.maximum(l_dot3(ab, ab), 1e-12), 0.0, 1.0)
-    return a + t[None] * ab
+    return a + t[..., None, :] * ab
 
 
 def _segment_segment(p1, q1, p2, q2):
@@ -90,159 +103,194 @@ def _segment_segment(p1, q1, p2, q2):
     t = (b * s + f) / jnp.maximum(e, 1e-12)
     t_cl = jnp.clip(t, 0.0, 1.0)
     s = jnp.clip((b * t_cl - c) / jnp.maximum(a, 1e-12), 0.0, 1.0)
-    return p1 + s[None] * d1, p2 + t_cl[None] * d2
+    return p1 + s[..., None, :] * d1, p2 + t_cl[..., None, :] * d2
 
 
-def _e3(v: np.ndarray, dtype, B: int) -> jnp.ndarray:
+def _e3(v, like: jnp.ndarray) -> jnp.ndarray:
+    """Constant direction broadcast to the shape of ``like`` ((..., 3, B)).
+
+    jnp.full-based (const_col): Pallas kernels cannot capture literal-array
+    constants — only scalar splats inline."""
     from judo_tpu.physics.lane_engine import const_col
 
-    return jnp.broadcast_to(const_col(v, dtype), (3, B))
+    return jnp.broadcast_to(const_col(v, like.dtype), like.shape)
 
 
-# --- per-pair lane kernels: return lists of (dist (B,), pos (3,B), n (3,B)) ---
+# --- per-type lane kernels, pair-stacked ---
+#
+# Signature: (x1 (P,3,B), m1 (P,3,3,B), s1 (P,3) jnp const, x2, m2, s2)
+#   -> list of slots [(d (P,B), pos (P,3,B), n (P,3,B)), ...]
+# Per-pair sizes enter as (P, 1) / (P, 1, 1) constant columns.
+
+
+def _s(sz: tuple, k: int) -> jnp.ndarray:
+    """Size component as (P, 1) for math against (P, B). ``sz`` is a 3-tuple
+    of (P, 1) const columns (jnp.full splats — see _e3 note)."""
+    return sz[k]
+
+
+def _sv(sz: tuple, k: int) -> jnp.ndarray:
+    """Size component as (P, 1, 1) for math against (P, 3, B)."""
+    return sz[k][..., None]
+
+
+def _sz3(sz: tuple) -> jnp.ndarray:
+    """Full (P, 3, 1) size tensor from the 3-tuple of (P, 1) columns."""
+    return jnp.concatenate([c[..., None] for c in sz], axis=1)
 
 
 def _k_plane_sphere(x1, m1, s1, x2, m2, s2):
     n = _col(m1, 2)
-    d = l_dot3(x2 - x1, n) - s2[0]
-    pos = x2 - n * (s2[0] + 0.5 * d)[None]
+    d = l_dot3(x2 - x1, n) - _s(s2, 0)
+    pos = x2 - n * (_s(s2, 0) + 0.5 * d)[..., None, :]
     return [(d, pos, n)]
+
 
 def _k_plane_capsule(x1, m1, s1, x2, m2, s2):
     n = _col(m1, 2)
     axis = _col(m2, 2)
     out = []
     for sgn in (-1.0, 1.0):
-        c = x2 + sgn * s2[1] * axis
-        d = l_dot3(c - x1, n) - s2[0]
-        out.append((d, c - n * (s2[0] + 0.5 * d)[None], n))
+        c = x2 + sgn * _sv(s2, 1) * axis
+        d = l_dot3(c - x1, n) - _s(s2, 0)
+        out.append((d, c - n * (_s(s2, 0) + 0.5 * d)[..., None, :], n))
     return out
+
 
 def _k_plane_cylinder(x1, m1, s1, x2, m2, s2):
     n = _col(m1, 2)
     axis = _col(m2, 2)
-    proj = axis * l_dot3(axis, n)[None] - n
+    proj = axis * l_dot3(axis, n)[..., None, :] - n
     rim = _safe_unit(proj, _col(m2, 0), eps=1e-8)
     out = []
     for sgn in (-1.0, 1.0):
-        c = x2 + sgn * s2[1] * axis + s2[0] * rim
+        c = x2 + sgn * _sv(s2, 1) * axis + _sv(s2, 0) * rim
         d = l_dot3(c - x1, n)
-        out.append((d, c - 0.5 * d[None] * n, n))
+        out.append((d, c - 0.5 * d[..., None, :] * n, n))
     return out
 
+
 def _k_plane_box(x1, m1, s1, x2, m2, s2):
-    dtype = x1.dtype
-    B = x1.shape[-1]
     n = _col(m1, 2)
     corners, cd = [], []
     for sx in (-1, 1):
         for sy in (-1, 1):
             for sz in (-1, 1):
-                c = x2 + sx * s2[0] * _col(m2, 0) + sy * s2[1] * _col(m2, 1) + sz * s2[2] * _col(m2, 2)
+                c = (
+                    x2
+                    + sx * _sv(s2, 0) * _col(m2, 0)
+                    + sy * _sv(s2, 1) * _col(m2, 1)
+                    + sz * _sv(s2, 2) * _col(m2, 2)
+                )
                 corners.append(c)
                 cd.append(l_dot3(c - x1, n))
-    sel = _rank_select_l(cd, 4)  # 4 x 8 one-hot rows of (B,)
+    sel = _rank_select_l(cd, 4)  # 4 x 8 one-hot rows
     out = []
     for s in range(4):
         d = sum(sel[s][j] * cd[j] for j in range(8))
-        p = sum(sel[s][j][None] * corners[j] for j in range(8))
-        out.append((d, p - 0.5 * d[None] * n, n))
+        p = sum(sel[s][j][..., None, :] * corners[j] for j in range(8))
+        out.append((d, p - 0.5 * d[..., None, :] * n, n))
     return out
 
+
 def _k_sphere_sphere(x1, m1, s1, x2, m2, s2):
-    dtype = x1.dtype
-    B = x1.shape[-1]
     delta = x2 - x1
     dn = jnp.sqrt(jnp.maximum(l_dot3(delta, delta), 1e-24))
-    n = _safe_unit(delta, _e3([0, 0, 1], dtype, B))
-    d = dn - s1[0] - s2[0]
-    return [(d, x1 + n * (s1[0] + 0.5 * d)[None], n)]
+    n = _safe_unit(delta, _e3([0, 0, 1], delta))
+    d = dn - _s(s1, 0) - _s(s2, 0)
+    return [(d, x1 + n * (_s(s1, 0) + 0.5 * d)[..., None, :], n)]
+
 
 def _k_sphere_capsule(x1, m1, s1, x2, m2, s2):
-    dtype = x1.dtype
-    B = x1.shape[-1]
     axis = _col(m2, 2)
-    c = _closest_seg_point(x2 - s2[1] * axis, x2 + s2[1] * axis, x1)
+    c = _closest_seg_point(x2 - _sv(s2, 1) * axis, x2 + _sv(s2, 1) * axis, x1)
     delta = c - x1
     dn = jnp.sqrt(jnp.maximum(l_dot3(delta, delta), 1e-24))
-    n = _safe_unit(delta, _e3([0, 0, 1], dtype, B))
-    d = dn - s1[0] - s2[0]
-    return [(d, x1 + n * (s1[0] + 0.5 * d)[None], n)]
+    n = _safe_unit(delta, _e3([0, 0, 1], delta))
+    d = dn - _s(s1, 0) - _s(s2, 0)
+    return [(d, x1 + n * (_s(s1, 0) + 0.5 * d)[..., None, :], n)]
+
 
 def _k_sphere_box(x1, m1, s1, x2, m2, s2):
-    from judo_tpu.physics.lane_engine import const_col
-
     dtype = x1.dtype
-    local = l_mat_t_vec(m2, x1 - x2)  # (3, B)
-    size = const_col(s2[:3], dtype)
+    local = p_mat_t_vec(m2, x1 - x2)  # (P, 3, B)
+    size = _sz3(s2)  # (P, 3, 1)
     clamped = jnp.clip(local, -size, size)
-    inside = jnp.all(jnp.abs(local) < size, axis=0)  # (B,)
+    inside = jnp.all(jnp.abs(local) < size, axis=-2)  # (P, B)
     delta_out = local - clamped
     dn_out = jnp.sqrt(jnp.maximum(l_dot3(delta_out, delta_out), 1e-24))
-    n_out = delta_out / jnp.maximum(dn_out, 1e-12)[None]
-    gaps = size - jnp.abs(local)  # (3, B)
-    gmin = jnp.min(gaps, axis=0)
-    sel = first_true_onehot([gaps[i] == gmin for i in range(3)])
-    ohax = jnp.stack([s.astype(dtype) for s in sel])  # (3, B)
-    n_in = jnp.sign(usum(local * ohax, 0))[None] * ohax
+    n_out = delta_out / jnp.maximum(dn_out, 1e-12)[..., None, :]
+    gaps = size - jnp.abs(local)  # (P, 3, B)
+    gmin = jnp.min(gaps, axis=-2)
+    sel = first_true_onehot([gaps[..., i, :] == gmin for i in range(3)])
+    ohax = jnp.stack([s.astype(dtype) for s in sel], axis=-2)  # (P, 3, B)
+    n_in = jnp.sign(usum(local * ohax, -2))[..., None, :] * ohax
     dn_in = -gmin
-    n_local = jnp.where(inside[None], n_in, n_out)
+    n_local = jnp.where(inside[..., None, :], n_in, n_out)
     dn_loc = jnp.where(inside, dn_in, dn_out)
-    n = l_mat_vec(m2, -n_local)
-    d = dn_loc - s1[0]
-    surf_local = jnp.where(inside[None], local - dn_in[None] * n_in, clamped)
-    surf = x2 + l_mat_vec(m2, surf_local)
-    return [(d, surf + 0.5 * d[None] * n, n)]
+    n = p_mat_vec(m2, -n_local)
+    d = dn_loc - _s(s1, 0)
+    surf_local = jnp.where(inside[..., None, :], local - dn_in[..., None, :] * n_in, clamped)
+    surf = x2 + p_mat_vec(m2, surf_local)
+    return [(d, surf + 0.5 * d[..., None, :] * n, n)]
+
 
 def _k_capsule_capsule(x1, m1, s1, x2, m2, s2):
-    dtype = x1.dtype
-    B = x1.shape[-1]
     a1, a2 = _col(m1, 2), _col(m2, 2)
-    p1c, p2c = _segment_segment(x1 - s1[1] * a1, x1 + s1[1] * a1, x2 - s2[1] * a2, x2 + s2[1] * a2)
+    p1c, p2c = _segment_segment(
+        x1 - _sv(s1, 1) * a1, x1 + _sv(s1, 1) * a1, x2 - _sv(s2, 1) * a2, x2 + _sv(s2, 1) * a2
+    )
     delta = p2c - p1c
     dn = jnp.sqrt(jnp.maximum(l_dot3(delta, delta), 1e-24))
-    n = _safe_unit(delta, _e3([0, 0, 1], dtype, B))
-    d = dn - s1[0] - s2[0]
-    return [(d, p1c + n * (s1[0] + 0.5 * d)[None], n)]
+    n = _safe_unit(delta, _e3([0, 0, 1], delta))
+    d = dn - _s(s1, 0) - _s(s2, 0)
+    return [(d, p1c + n * (_s(s1, 0) + 0.5 * d)[..., None, :], n)]
+
 
 def _k_cylinder_cylinder(x1, m1, s1, x2, m2, s2):
     dtype = x1.dtype
     a1 = _col(m1, 2)
     delta = x2 - x1
     h = l_dot3(delta, a1)
-    radial = delta - a1 * h[None]
+    radial = delta - a1 * h[..., None, :]
     rn = jnp.sqrt(jnp.maximum(l_dot3(radial, radial), 1e-24))
     n = _safe_unit(radial, _col(m1, 0))
     parallel = jnp.abs(l_dot3(a1, _col(m2, 2))) > 0.99
-    overlap = jnp.abs(h) < (s1[1] + s2[1])
-    d_radial = rn - s1[0] - s2[0]
+    overlap = jnp.abs(h) < (_s(s1, 1) + _s(s2, 1))
+    d_radial = rn - _s(s1, 0) - _s(s2, 0)
     d = jnp.where(parallel & overlap, d_radial, jnp.asarray(_BIG, dtype))
-    h_lo = jnp.maximum(-s1[1], h - s2[1])
-    h_hi = jnp.minimum(jnp.full_like(h, s1[1]), h + s2[1])
-    radial_pos = x1 + n * (s1[0] + 0.5 * d_radial)[None]
-    return [(d, radial_pos + a1 * h_hi[None], n), (d, radial_pos + a1 * h_lo[None], n)]
+    h_lo = jnp.maximum(jnp.broadcast_to(-_s(s1, 1), h.shape), h - _s(s2, 1))
+    h_hi = jnp.minimum(jnp.broadcast_to(_s(s1, 1), h.shape), h + _s(s2, 1))
+    radial_pos = x1 + n * (_s(s1, 0) + 0.5 * d_radial)[..., None, :]
+    return [
+        (d, radial_pos + a1 * h_hi[..., None, :], n),
+        (d, radial_pos + a1 * h_lo[..., None, :], n),
+    ]
 
 
 def _cyl_correction(d, n, axis, r):
     na = jnp.clip(jnp.abs(l_dot3(n, axis)), 0.0, 1.0)
     return d + r * (1.0 - jnp.sqrt(jnp.maximum(1.0 - na * na, 0.0)))
 
+
 def _k_sphere_cylinder(x1, m1, s1, x2, m2, s2):
     [(d, p, n)] = _k_sphere_capsule(x1, m1, s1, x2, m2, s2)
-    return [(_cyl_correction(d, n, _col(m2, 2), s2[0]), p, n)]
+    return [(_cyl_correction(d, n, _col(m2, 2), _s(s2, 0)), p, n)]
+
 
 def _k_capsule_cylinder(x1, m1, s1, x2, m2, s2):
     [(d, p, n)] = _k_capsule_capsule(x1, m1, s1, x2, m2, s2)
-    return [(_cyl_correction(d, n, _col(m2, 2), s2[0]), p, n)]
+    return [(_cyl_correction(d, n, _col(m2, 2), _s(s2, 0)), p, n)]
+
 
 def _k_cylinder_box(x1, m1, s1, x2, m2, s2):
     out = _k_capsule_box(x1, m1, s1, x2, m2, s2)
     axis = _col(m1, 2)
-    return [(_cyl_correction(d, n, axis, s1[0]), p, n) for (d, p, n) in out]
+    return [(_cyl_correction(d, n, axis, _s(s1, 0)), p, n) for (d, p, n) in out]
 
 
 def _rank_select_l(keys: list, k: int) -> list:
-    """Rank one-hot selection over a static list of (B,) keys: result[s][j]
+    """Rank one-hot selection over a static list of keys: result[s][j]
     is 1.0 where keys[j] is the s-th smallest (stable, index tiebreak)."""
     n = len(keys)
     dtype = keys[0].dtype
@@ -260,56 +308,53 @@ def _rank_select_l(keys: list, k: int) -> list:
 
 
 def _k_capsule_box(x1, m1, s1, x2, m2, s2):
-    """2-slot capsule-box (port of box_collision.capsule_box)."""
-    from judo_tpu.physics.lane_engine import const_col
-
+    """2-slot capsule-box (port of box_collision.capsule_box), pair-stacked."""
     dtype = x1.dtype
-    r, hl = s1[0], s1[1]
+    r, hl = _s(s1, 0), _sv(s1, 1)
     axis = _col(m1, 2)
-    size = const_col(s2[:3], dtype)
-    t = jnp.clip(l_dot3(x2 - x1, axis), -hl, hl)
-    cands = [x1 - hl * axis, x1 + hl * axis, x1 + t[None] * axis]
+    size = _sz3(s2)  # (P, 3, 1)
+    t = jnp.clip(l_dot3(x2 - x1, axis), -hl[..., 0], hl[..., 0])
+    cands = [x1 - hl * axis, x1 + hl * axis, x1 + t[..., None, :] * axis]
 
     dists, pts, normals = [], [], []
     for c in cands:
-        local = l_mat_t_vec(m2, c - x2)
+        local = p_mat_t_vec(m2, c - x2)
         clamped = jnp.clip(local, -size, size)
         delta = local - clamped
         dn = jnp.sqrt(jnp.maximum(l_dot3(delta, delta), 1e-24))
         outside = dn > 1e-9
         gaps = size - jnp.abs(local)
-        gmin = jnp.min(gaps, axis=0)
-        sel = first_true_onehot([gaps[i] == gmin for i in range(3)])
-        ohax = jnp.stack([s_.astype(dtype) for s_ in sel])
-        n_in = jnp.sign(usum(local * ohax, 0))[None] * ohax
+        gmin = jnp.min(gaps, axis=-2)
+        sel = first_true_onehot([gaps[..., i, :] == gmin for i in range(3)])
+        ohax = jnp.stack([s_.astype(dtype) for s_ in sel], axis=-2)
+        n_in = jnp.sign(usum(local * ohax, -2))[..., None, :] * ohax
         d_in = -gmin
-        n_out = delta / jnp.maximum(dn, 1e-12)[None]
-        n_local = jnp.where(outside[None], n_out, n_in)
+        n_out = delta / jnp.maximum(dn, 1e-12)[..., None, :]
+        n_local = jnp.where(outside[..., None, :], n_out, n_in)
         d = jnp.where(outside, dn, d_in) - r
-        n = -l_mat_vec(m2, n_local)
-        surf_local = jnp.where(outside[None], clamped, local - d_in[None] * n_in)
-        surf = x2 + l_mat_vec(m2, surf_local)
+        n = -p_mat_vec(m2, n_local)
+        surf_local = jnp.where(outside[..., None, :], clamped, local - d_in[..., None, :] * n_in)
+        surf = x2 + p_mat_vec(m2, surf_local)
         dists.append(d)
-        pts.append(surf + 0.5 * d[None] * n)
+        pts.append(surf + 0.5 * d[..., None, :] * n)
         normals.append(n)
 
     sel = _rank_select_l(dists, 2)
     out = []
     for s in range(2):
         d = sum(sel[s][j] * dists[j] for j in range(3))
-        p = sum(sel[s][j][None] * pts[j] for j in range(3))
-        n = sum(sel[s][j][None] * normals[j] for j in range(3))
+        p = sum(sel[s][j][..., None, :] * pts[j] for j in range(3))
+        n = sum(sel[s][j][..., None, :] * normals[j] for j in range(3))
         out.append((d, p, n))
     return out
 
 
 def _k_box_box(x1, m1, s1, x2, m2, s2):
-    """4-slot box-box SAT manifold (port of box_collision.box_box)."""
+    """4-slot box-box SAT manifold (port of box_collision.box_box), stacked."""
     dtype = x1.dtype
-    B = x1.shape[-1]
     d_vec = x2 - x1
-    size1 = np.asarray(s1[:3], np.float64)
-    size2 = np.asarray(s2[:3], np.float64)
+    size1 = [_s(s1, i) for i in range(3)]  # (P, 1) each
+    size2 = [_s(s2, i) for i in range(3)]
 
     axes = [(_col(m1, i)) for i in range(3)] + [(_col(m2, j)) for j in range(3)]
     for i in range(3):
@@ -319,9 +364,9 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
     seps, valids, axes_n = [], [], []
     for a in axes:
         nrm = jnp.sqrt(jnp.maximum(l_dot3(a, a), 1e-24))
-        an = a / jnp.maximum(nrm, 1e-12)[None]
-        p1 = sum(float(size1[i]) * jnp.abs(l_dot3(an, _col(m1, i))) for i in range(3))
-        p2 = sum(float(size2[j]) * jnp.abs(l_dot3(an, _col(m2, j))) for j in range(3))
+        an = a / jnp.maximum(nrm, 1e-12)[..., None, :]
+        p1 = sum(size1[i] * jnp.abs(l_dot3(an, _col(m1, i))) for i in range(3))
+        p2 = sum(size2[j] * jnp.abs(l_dot3(an, _col(m2, j))) for j in range(3))
         seps.append(jnp.abs(l_dot3(an, d_vec)) - p1 - p2)
         valids.append(nrm > 1e-6)
         axes_n.append(an)
@@ -336,22 +381,22 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
     for i in range(15):
         dist = jnp.maximum(dist, jnp.where(valids[i], seps[i], neg_inf))
 
-    axis = sum(oh[i].astype(dtype)[None] * axes_n[i] for i in range(15))
+    axis = sum(oh[i].astype(dtype)[..., None, :] * axes_n[i] for i in range(15))
     sign = jnp.where(l_dot3(axis, d_vec) >= 0, 1.0, -1.0).astype(dtype)
-    normal = sign[None] * axis
+    normal = sign[..., None, :] * axis
 
     is_face = (oh[0] | oh[1] | oh[2] | oh[3] | oh[4] | oh[5])
     ref_is_1 = (oh[0] | oh[1] | oh[2])
 
     # reference/incident box quantities blended per lane
-    rsel = ref_is_1.astype(dtype)[None]
+    rsel = ref_is_1.astype(dtype)[..., None, :]
     ref_pos = rsel * x1 + (1 - rsel) * x2
     inc_pos = rsel * x2 + (1 - rsel) * x1
     ref_cols = [rsel * _col(m1, i) + (1 - rsel) * _col(m2, i) for i in range(3)]
     inc_cols = [rsel * _col(m2, i) + (1 - rsel) * _col(m1, i) for i in range(3)]
-    ref_size = [jnp.where(ref_is_1, float(size1[i]), float(size2[i])) for i in range(3)]
-    inc_size = [jnp.where(ref_is_1, float(size2[i]), float(size1[i])) for i in range(3)]
-    ref_n = jnp.where(ref_is_1[None], normal, -normal)
+    ref_size = [jnp.where(ref_is_1, size1[i], size2[i]) for i in range(3)]
+    inc_size = [jnp.where(ref_is_1, size2[i], size1[i]) for i in range(3)]
+    ref_n = jnp.where(ref_is_1[..., None, :], normal, -normal)
 
     # reference face local axis: one-hot over |alignment|
     ref_align = [l_dot3(ref_cols[i], ref_n) for i in range(3)]
@@ -367,11 +412,11 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
     inc_sign = -jnp.sign(sum(inc_align[i] * e_ax[i].astype(dtype) for i in range(3)) + 1e-12)
 
     def _blend_axis(oh3: list, items: list):
-        """Select from 3 per-axis (B,) or (3,B) items with a one-hot list."""
+        """Select from 3 per-axis (P, B) or (P, 3, B) items with one-hots."""
         out = 0.0
         for i in range(3):
             w = oh3[i].astype(dtype)
-            out = out + (w[None] * items[i] if items[i].ndim == 2 else w * items[i])
+            out = out + (w[..., None, :] * items[i] if items[i].ndim == 3 else w * items[i])
         return out
 
     # incident face u/v axes are the two non-face axes in cyclic order:
@@ -380,7 +425,7 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
     oh_v = [e_ax[(k + 1) % 3] for k in range(3)]
 
     inc_face_size = _blend_axis(e_ax, inc_size)
-    c_world = inc_pos + (inc_sign * inc_face_size)[None] * _blend_axis(e_ax, inc_cols)
+    c_world = inc_pos + (inc_sign * inc_face_size)[..., None, :] * _blend_axis(e_ax, inc_cols)
     u_axis_w = _blend_axis(oh_u, inc_cols)
     v_axis_w = _blend_axis(oh_v, inc_cols)
     u_half = _blend_axis(oh_u, inc_size)
@@ -388,7 +433,9 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
 
     verts = []
     for su, sv in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
-        verts.append(c_world + (su * u_half)[None] * u_axis_w + (sv * v_half)[None] * v_axis_w)
+        verts.append(
+            c_world + (su * u_half)[..., None, :] * u_axis_w + (sv * v_half)[..., None, :] * v_axis_w
+        )
 
     # reference face rectangle frame
     r_u_w = _blend_axis([e_ref[(k + 2) % 3] for k in range(3)], ref_cols)
@@ -405,8 +452,8 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
     v_c = [jnp.clip(x, -hv, hv) for x in v]
 
     # incident-face plane in (u, v, w) ref coords via one cross product
-    d10 = v3_sub(verts[1], verts[0])
-    d20 = v3_sub(verts[2], verts[0])
+    d10 = verts[1] - verts[0]
+    d20 = verts[2] - verts[0]
     n_pl = l_cross(d10, d20)
     n_u = l_dot3(n_pl, r_u_w)
     n_v = l_dot3(n_pl, r_v_w)
@@ -419,25 +466,30 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
         w_c = w[0] - (n_u * (u_c[s] - u[0]) + n_v * (v_c[s] - v[0])) / n_w
         depth = ref_sign * w_c - h_face
         mid_w = 0.5 * (w_c + h_ref)
-        p = ref_pos + u_c[s][None] * r_u_w + v_c[s][None] * r_v_w + mid_w[None] * r_n_w
+        p = (
+            ref_pos
+            + u_c[s][..., None, :] * r_u_w
+            + v_c[s][..., None, :] * r_v_w
+            + mid_w[..., None, :] * r_n_w
+        )
         face_pts.append(p)
         face_ds.append(depth)
 
     # edge-edge single contact
     e1_sel = [sum_oh([oh[6 + 3 * i + j] for j in range(3)]) for i in range(3)]  # axis of box1
     e2_sel = [sum_oh([oh[6 + i + 3 * j] for j in range(3)]) for i in range(3)]  # axis of box2
-    a1 = sum(e1_sel[i].astype(dtype)[None] * _col(m1, i) for i in range(3))
-    a2 = sum(e2_sel[i].astype(dtype)[None] * _col(m2, i) for i in range(3))
+    a1 = sum(e1_sel[i].astype(dtype)[..., None, :] * _col(m1, i) for i in range(3))
+    a2 = sum(e2_sel[i].astype(dtype)[..., None, :] * _col(m2, i) for i in range(3))
     # avoid zero axes when a face won: fall back to x-axes (masked out anyway)
-    a1 = jnp.where(is_face[None], _col(m1, 0), a1)
-    a2 = jnp.where(is_face[None], _col(m2, 0), a2)
+    a1 = jnp.where(is_face[..., None, :], _col(m1, 0), a1)
+    a2 = jnp.where(is_face[..., None, :], _col(m2, 0), a2)
 
     def edge_center(pos, cols, size, oh_edge, toward):
         out = pos
         for i in range(3):
             s_i = jnp.sign(l_dot3(cols[i], toward) + 1e-12)
             keep = 1.0 - oh_edge[i].astype(dtype)
-            out = out + (keep * s_i * float(size[i]))[None] * cols[i]
+            out = out + (keep * s_i * size[i])[..., None, :] * cols[i]
         return out
 
     c1 = edge_center(x1, [_col(m1, i) for i in range(3)], size1, e1_sel, normal)
@@ -447,7 +499,7 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
     denom = jnp.maximum(1.0 - a1a2 * a1a2, 1e-9)
     t1 = (l_dot3(d12, a1) - l_dot3(d12, a2) * a1a2) / denom
     t2 = -(l_dot3(d12, a2) - l_dot3(d12, a1) * a1a2) / denom
-    edge_pt = 0.5 * (c1 + t1[None] * a1 + c2 + t2[None] * a2)
+    edge_pt = 0.5 * (c1 + t1[..., None, :] * a1 + c2 + t2[..., None, :] * a2)
 
     big = jnp.asarray(_BIG, dtype)
     sep_positive = dist >= 0
@@ -456,14 +508,10 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
         fd = jnp.where(face_ds[s] < 0, face_ds[s], jnp.maximum(face_ds[s], dist))
         ed = dist if s == 0 else jnp.full_like(dist, _BIG)
         dd = jnp.where(is_face, fd, ed)
-        pp = jnp.where(is_face[None], face_pts[s], edge_pt)
+        pp = jnp.where(is_face[..., None, :], face_pts[s], edge_pt)
         dd = jnp.where(sep_positive, dist if s == 0 else big, dd)
         out.append((dd, pp, normal))
     return out
-
-
-def v3_sub(a, b):
-    return a - b
 
 
 def sum_oh(masks: list) -> jnp.ndarray:
@@ -488,6 +536,24 @@ _L_KERNELS = {
     (GEOM_CYLINDER, GEOM_CYLINDER): _k_cylinder_cylinder,
     (GEOM_CYLINDER, GEOM_BOX): _k_cylinder_box,
     (GEOM_BOX, GEOM_BOX): _k_box_box,
+}
+
+# slots emitted per pair type (static; must match the kernels above)
+_SLOTS_PER_PAIR = {
+    (GEOM_PLANE, GEOM_SPHERE): 1,
+    (GEOM_PLANE, GEOM_CAPSULE): 2,
+    (GEOM_PLANE, GEOM_CYLINDER): 2,
+    (GEOM_PLANE, GEOM_BOX): 4,
+    (GEOM_SPHERE, GEOM_SPHERE): 1,
+    (GEOM_SPHERE, GEOM_CAPSULE): 1,
+    (GEOM_SPHERE, GEOM_CYLINDER): 1,
+    (GEOM_SPHERE, GEOM_BOX): 1,
+    (GEOM_CAPSULE, GEOM_CAPSULE): 1,
+    (GEOM_CAPSULE, GEOM_CYLINDER): 1,
+    (GEOM_CAPSULE, GEOM_BOX): 2,
+    (GEOM_CYLINDER, GEOM_CYLINDER): 2,
+    (GEOM_CYLINDER, GEOM_BOX): 2,
+    (GEOM_BOX, GEOM_BOX): 4,
 }
 
 
@@ -523,16 +589,18 @@ def _pair_params_np(m: PhysicsModel, g1: int, g2: int):
     return max(float(mu), 1e-5), sr, si, float(mg)
 
 
-def find_contacts_l(m: PhysicsModel, kin: LaneKin) -> list:
-    """Narrowphase over the static pair list -> list[LaneContact].
+def find_contacts_l(m: PhysicsModel, kin: LaneKin) -> LaneContacts | None:
+    """Narrowphase over the static pair list -> stacked LaneContacts.
 
-    Same slot layout as collision.find_contacts grouped-by-type ordering, so
-    the efc row order matches the XLA path exactly (warm-start transfer and
-    parity tests rely on it)."""
+    Slot order matches collision.find_contacts' grouped-by-type, pair-major
+    ordering exactly (warm-start transfer and parity tests rely on it): for
+    each pair type in first-seen order, for each pair, its slots in kernel
+    order.
+    """
+    from judo_tpu.physics.lane_engine import LaneKin  # noqa: F401 (docs)
+
     gp = lambda a: np.asarray(jax.device_get(a), np.float64)  # noqa: E731
-    # python-float rows, NOT np.float64: np scalars are strongly typed and
-    # would promote the whole f32 lane pipeline to f64 under jax_enable_x64
-    geom_size = [[float(v) for v in row] for row in gp(m.geom_size)]
+    geom_size = gp(m.geom_size)
 
     groups: dict = {}
     for g1, g2 in m.collision_pairs:
@@ -540,34 +608,71 @@ def find_contacts_l(m: PhysicsModel, kin: LaneKin) -> list:
         if sig in _L_KERNELS:
             groups.setdefault(sig, []).append((g1, g2))
 
-    contacts: list = []
+    dtype = kin.geom_xpos[0].dtype if kin.geom_xpos else jnp.float32
+    d_parts: list = []  # per group: (P*S, B) pair-major
+    p_parts: list = []
+    n_parts: list = []
+    body1: list = []
+    body2: list = []
+    friction: list = []
+    solref: list = []
+    solimp: list = []
+    includemargin: list = []
+
     for sig, pairs in groups.items():
         kernel = _L_KERNELS[sig]
+        P = len(pairs)
+        x1 = jnp.stack([kin.geom_xpos[g1] for g1, _ in pairs])  # (P, 3, B)
+        m1 = jnp.stack([kin.geom_xmat[g1] for g1, _ in pairs])  # (P, 3, 3, B)
+        x2 = jnp.stack([kin.geom_xpos[g2] for _, g2 in pairs])
+        m2 = jnp.stack([kin.geom_xmat[g2] for _, g2 in pairs])
+        from judo_tpu.physics.lane_engine import const_col
+
+        sz1 = np.stack([geom_size[g1] for g1, _ in pairs])  # (P, 3) host
+        sz2 = np.stack([geom_size[g2] for _, g2 in pairs])
+        s1 = tuple(const_col(sz1[:, k], dtype) for k in range(3))
+        s2 = tuple(const_col(sz2[:, k], dtype) for k in range(3))
+        slots = kernel(x1, m1, s1, x2, m2, s2)
+        S = len(slots)
+        assert S == _SLOTS_PER_PAIR[sig], (sig, S)
+        # pair-major flatten: (S, P, B) stacked on axis 1 -> (P, S, B) -> (P*S, B)
+        d_g = jnp.stack([d for d, _, _ in slots], axis=1)  # (P, S, B)
+        p_g = jnp.stack([p for _, p, _ in slots], axis=1)  # (P, S, 3, B)
+        n_g = jnp.stack([n for _, _, n in slots], axis=1)
+        d_parts.append(d_g.reshape(P * S, *d_g.shape[2:]))
+        p_parts.append(p_g.reshape(P * S, *p_g.shape[2:]))
+        n_parts.append(n_g.reshape(P * S, *n_g.shape[2:]))
         for g1, g2 in pairs:
-            slots = kernel(
-                kin.geom_xpos[g1], kin.geom_xmat[g1], geom_size[g1],
-                kin.geom_xpos[g2], kin.geom_xmat[g2], geom_size[g2],
-            )
             mu, sr, si, mg = _pair_params_np(m, g1, g2)
-            for d, p, n in slots:
-                contacts.append(
-                    LaneContact(
-                        dist=d, pos=p, normal=n,
-                        body1=m.geom_bodyid[g1], body2=m.geom_bodyid[g2],
-                        friction=mu, solref=sr, solimp=si, includemargin=mg,
-                    )
-                )
-    return contacts
+            for _ in range(S):
+                body1.append(int(m.geom_bodyid[g1]))
+                body2.append(int(m.geom_bodyid[g2]))
+                friction.append(mu)
+                solref.append(sr)
+                solimp.append(si)
+                includemargin.append(mg)
+
+    if not body1:
+        return None
+    return LaneContacts(
+        dist=jnp.concatenate(d_parts, axis=0),
+        pos=jnp.concatenate(p_parts, axis=0),
+        normal=jnp.concatenate(n_parts, axis=0),
+        body1=tuple(body1),
+        body2=tuple(body2),
+        friction=np.asarray(friction, np.float64),
+        solref=np.stack(solref),
+        solimp=np.stack(solimp),
+        includemargin=np.asarray(includemargin, np.float64),
+    )
 
 
 def tangent_frame_l(n: jnp.ndarray) -> tuple:
-    """Orthonormal (t1, t2) completing unit normal n (3, B)."""
-    dtype = n.dtype
-    B = n.shape[-1]
-    ex = _e3([1, 0, 0], dtype, B)
-    ey = _e3([0, 1, 0], dtype, B)
-    ref = jnp.where((jnp.abs(n[0]) < 0.5)[None], ex, ey)
+    """Orthonormal (t1, t2) completing unit normals n ((..., 3, B))."""
+    ex = _e3([1, 0, 0], n)
+    ey = _e3([0, 1, 0], n)
+    ref = jnp.where((jnp.abs(n[..., 0, :]) < 0.5)[..., None, :], ex, ey)
     t1 = l_cross(n, ref)
-    t1 = t1 / jnp.maximum(jnp.sqrt(jnp.maximum(l_dot3(t1, t1), 1e-24)), 1e-12)[None]
+    t1 = t1 / jnp.maximum(jnp.sqrt(jnp.maximum(l_dot3(t1, t1), 1e-24)), 1e-12)[..., None, :]
     t2 = l_cross(n, t1)
     return t1, t2

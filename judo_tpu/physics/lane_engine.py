@@ -180,6 +180,17 @@ def l_mat_t_vec(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return usum(m * v[:, None, :], 0)
 
 
+def p_mat_vec(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3, B) @ (..., 3, B) -> (..., 3, B): l_mat_vec with leading
+    batch axes (the stacked-pairs narrowphase layout)."""
+    return usum(m * v[..., None, :, :], -2)
+
+
+def p_mat_t_vec(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3, B)^T @ (..., 3, B) -> (..., 3, B) with leading axes."""
+    return usum(m * v[..., :, None, :], -3)
+
+
 def l_mat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(3, 3, B) @ (3, 3, B) -> (3, 3, B) (unrolled: see usum)."""
     return usum(a[:, :, None, :] * b[None, :, :, :], 1)
@@ -380,28 +391,72 @@ def kinematics_l(m: PhysicsModel, qpos: jnp.ndarray) -> LaneKin:
         xpos_t.append(pos)
         xquat_t.append(quat)
 
-    xipos_t = [tv_add(xpos_t[b], tq_rotate(xquat_t[b], f3(body_ipos[b]))) for b in range(m.nbody)]
-    ximat_t = [tq_to_mat9(tq_mul(xquat_t[b], f4(body_iquat[b]))) for b in range(m.nbody)]
+    # --- STACKED epilogue: the per-geom/site/inertial frame products have no
+    # tree dependencies, so they run as ONE set of ops on (n, B) components
+    # instead of per-object tuple loops (the loops dominated the kinematics
+    # op count ~3:1). The serial parent->child WALK above stays in the tuple
+    # domain — per-link stack/slice relayouts on the critical path are what
+    # the tuple domain exists to avoid (see module docstring); the epilogue
+    # stacks each quantity once and slices once, off any serial chain. ---
+    def stack_comp(ts: list) -> tuple:
+        """List of tuples (scalar or (B,) comps) -> tuple of (n, B) arrays."""
+        return tuple(
+            jnp.stack([_t_arr(t[k], B, dtype) for t in ts]) for k in range(len(ts[0]))
+        )
 
-    # stage boundary: stack tuples into the LaneKin array layout
-    xpos = [t_stackn(t, B, dtype) for t in xpos_t]
-    xquat = [t_stackn(t, B, dtype) for t in xquat_t]
-    xmat = [t_stack33(tq_to_mat9(t), B, dtype) for t in xquat_t]
-    xipos = [t_stackn(t, B, dtype) for t in xipos_t]
-    ximat = [t_stack33(t, B, dtype) for t in ximat_t]
-    xanchor = [t_stackn(t, B, dtype) for t in xanchor_t]
-    xaxis = [t_stackn(t, B, dtype) for t in xaxis_t]
+    def cvec(arr: np.ndarray) -> tuple:
+        """(n, k) host constants -> k-tuple of (n, 1) jnp.full columns
+        (pallas-safe: no literal-array constants)."""
+        a = np.asarray(arr, np.float64)
+        return tuple(const_col(a[:, k], dtype) for k in range(a.shape[1]))
+
+    def pack3(t: tuple) -> jnp.ndarray:  # 3 comps (n, B) -> (n, 3, B)
+        return jnp.stack(t, axis=1)
+
+    def pack33(t9: tuple) -> jnp.ndarray:  # 9 comps (n, B) -> (n, 3, 3, B)
+        return jnp.stack([jnp.stack(t9[3 * i : 3 * i + 3], axis=1) for i in range(3)], axis=1)
+
+    bpos = stack_comp(xpos_t)  # 3 x (nbody, B)
+    bquat = stack_comp(xquat_t)  # 4 x (nbody, B)
+    xpos_s = pack3(bpos)
+    xquat_s = pack3((bquat[0], bquat[1], bquat[2]))  # placeholder; replaced below
+    xquat_s = jnp.stack(bquat, axis=1)  # (nbody, 4, B)
+    xmat_s = pack33(tq_to_mat9(bquat))
+    xipos_s = pack3(tv_add(bpos, tq_rotate(bquat, cvec(body_ipos))))
+    ximat_s = pack33(tq_to_mat9(tq_mul(bquat, cvec(body_iquat))))
+
+    xpos = [xpos_s[b] for b in range(m.nbody)]
+    xquat = [xquat_s[b] for b in range(m.nbody)]
+    xmat = [xmat_s[b] for b in range(m.nbody)]
+    xipos = [xipos_s[b] for b in range(m.nbody)]
+    ximat = [ximat_s[b] for b in range(m.nbody)]
+
+    if m.njnt:
+        xanchor_s = pack3(stack_comp(xanchor_t))
+        xaxis_s = pack3(stack_comp(xaxis_t))
+        xanchor = [xanchor_s[j] for j in range(m.njnt)]
+        xaxis = [xaxis_s[j] for j in range(m.njnt)]
+    else:
+        xanchor, xaxis = [], []
 
     geom_xpos, geom_xmat = [], []
-    for g in range(m.ngeom):
-        b = m.geom_bodyid[g]
-        geom_xpos.append(t_stackn(tv_add(xpos_t[b], tq_rotate(xquat_t[b], f3(geom_pos[g]))), B, dtype))
-        geom_xmat.append(t_stack33(tq_to_mat9(tq_mul(xquat_t[b], f4(geom_quat[g]))), B, dtype))
+    if m.ngeom:
+        gb = [int(m.geom_bodyid[g]) for g in range(m.ngeom)]
+        gp = stack_comp([xpos_t[b] for b in gb])
+        gq = stack_comp([xquat_t[b] for b in gb])
+        geom_xpos_s = pack3(tv_add(gp, tq_rotate(gq, cvec(geom_pos))))
+        geom_xmat_s = pack33(tq_to_mat9(tq_mul(gq, cvec(geom_quat))))
+        geom_xpos = [geom_xpos_s[g] for g in range(m.ngeom)]
+        geom_xmat = [geom_xmat_s[g] for g in range(m.ngeom)]
     site_xpos, site_xmat = [], []
-    for t in range(m.nsite):
-        b = m.site_bodyid[t]
-        site_xpos.append(t_stackn(tv_add(xpos_t[b], tq_rotate(xquat_t[b], f3(site_pos[t]))), B, dtype))
-        site_xmat.append(t_stack33(tq_to_mat9(tq_mul(xquat_t[b], f4(site_quat[t]))), B, dtype))
+    if m.nsite:
+        sb = [int(m.site_bodyid[t]) for t in range(m.nsite)]
+        sp = stack_comp([xpos_t[b] for b in sb])
+        sq = stack_comp([xquat_t[b] for b in sb])
+        site_xpos_s = pack3(tv_add(sp, tq_rotate(sq, cvec(site_pos))))
+        site_xmat_s = pack33(tq_to_mat9(tq_mul(sq, cvec(site_quat))))
+        site_xpos = [site_xpos_s[t] for t in range(m.nsite)]
+        site_xmat = [site_xmat_s[t] for t in range(m.nsite)]
 
     return LaneKin(xpos, xquat, xmat, xipos, ximat, xanchor, xaxis, geom_xpos, geom_xmat, site_xpos, site_xmat)
 
@@ -714,9 +769,13 @@ def actuation_l(m: PhysicsModel, qpos: jnp.ndarray, qvel: jnp.ndarray, ctrl: jnp
     if any(m.jnt_actfrclimited):
         afr = np.asarray(jax.device_get(m.jnt_actfrcrange), np.float64)
         for j in range(m.njnt):
-            if m.jnt_actfrclimited[j] and m.jnt_type[j] in (SLIDE, HINGE):
-                dadr = m.jnt_dofadr[j]
-                rows[dadr] = jnp.clip(rows[dadr], float(afr[j, 0]), float(afr[j, 1]))
+            if m.jnt_actfrclimited[j]:
+                # every dof of a limited joint is clamped (ball: 3, free: 6)
+                # — MuJoCo semantics, advisor r4; matches smooth.actuation
+                ndof = {FREE: 6, BALL: 3}.get(m.jnt_type[j], 1)
+                for d in range(ndof):
+                    dadr = m.jnt_dofadr[j] + d
+                    rows[dadr] = jnp.clip(rows[dadr], float(afr[j, 0]), float(afr[j, 1]))
     return jnp.stack(rows)
 
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from judo_tpu.physics import lane_engine as le
-from judo_tpu.physics.lane_collision import LaneContact, find_contacts_l, tangent_frame_l
+from judo_tpu.physics.lane_collision import LaneContacts, find_contacts_l, tangent_frame_l
 from judo_tpu.physics.lane_engine import (
     LaneCom,
     LaneKin,
@@ -83,6 +83,30 @@ def impedance_l(solimp: np.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
         hi = 1.0 - ((1.0 - mid) ** (1.0 - power)) * (1.0 - x) ** power
         y = jnp.where(x <= mid, lo, hi)
     return jnp.clip(dmin + y * (dmax - dmin), _MINIMP, _MAXIMP)
+
+
+def impedance_lc(solimp: np.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """impedance_l over STACKED contacts: solimp (C, 5) host constants,
+    pos (C, B). Contacts sharing a solimp row (the overwhelmingly common
+    case — one pair-type parameterization per scene) are computed by one
+    scalar-constant curve; distinct rows are blended with one-hot constant
+    masks, so no per-lane transcendental pow with a varying exponent is ever
+    emitted."""
+    rows = [tuple(float(v) for v in r) for r in np.asarray(solimp)]
+    uniq: dict = {}
+    for i, r in enumerate(rows):
+        uniq.setdefault(r, []).append(i)
+    if len(uniq) == 1:
+        return impedance_l(np.asarray(rows[0]), pos)
+    from judo_tpu.physics.lane_engine import const_col
+
+    out = jnp.zeros_like(pos)
+    for r, idxs in uniq.items():
+        ind = np.zeros(len(rows))
+        ind[idxs] = 1.0
+        w = const_col(ind, pos.dtype)  # (C, 1) jnp.full-based (pallas-safe)
+        out = out + w * impedance_l(np.asarray(r), pos)
+    return out
 
 
 def kb_from_solref_np(solref: np.ndarray, solimp: np.ndarray, timestep: float) -> tuple:
@@ -142,11 +166,11 @@ class LaneRows(NamedTuple):
 def assemble_constraints_l(
     m: PhysicsModel,
     com: LaneCom,
-    contacts: list,
+    contacts: LaneContacts | None,
     qpos: jnp.ndarray,
     qvel: jnp.ndarray,
 ) -> LaneRows | None:
-    """Equalities + joint limits + pyramidal contact rows, batch-last."""
+    """Equalities + joint limits + contact rows, batch-last, pair-stacked."""
     dtype = qvel.dtype
     B = qvel.shape[-1]
     ts = float(_np(m.timestep))
@@ -224,81 +248,122 @@ def assemble_constraints_l(
             rows_active.append((dist < float(jnt_margin[j])).astype(dtype))
             rows_diag.append(float(dof_invweight0[dadr]) * ones)
 
-    # --- contacts: pyramidal facets, or elliptic rows in GROUPED layout
-    # ([all normals | all t1 | all t2] — contiguous blocks so the in-kernel
-    # SOC projection is three static slices; mirrors solver.assemble_constraints)
-    if contacts:
+    # --- contacts (STACKED): pyramidal facets, or elliptic rows in GROUPED
+    # layout ([all normals | all t1 | all t2] — contiguous blocks so the
+    # in-kernel SOC projection is three static slices; mirrors
+    # solver.assemble_constraints). All C slots are assembled by ONE set of
+    # (C, nv, B)-shaped ops instead of a per-contact Python loop: the row
+    # contraction uses the triple-product identity
+    # (ANG_v x arm)·d = ANG_v·(arm x d), so the (C, nv, 3, B) world Jacobian
+    # is never materialized (see lane_collision module docstring for the
+    # stacking rationale).
+    c_parts: list | None = None
+    if contacts is not None and contacts.ncon:
+        CC = contacts.ncon
         CD = jnp.stack(com.cdof)  # (nv, 6, B)
-        ANG = CD[:, :3, :]
+        ANG = CD[:, :3, :]  # (nv, 3, B)
         LIN = CD[:, 3:, :]
-        ell_J: list = [[], [], []]  # grouped: normals / t1 / t2
-        ell_aref: list = [[], [], []]
-        ell_reg: list = [[], [], []]
-        ell_active: list = [[], [], []]
-        ell_diag: list = [[], [], []]
-        for c in contacts:
-            c: LaneContact
-            arm1 = c.pos - com.root_com[c.body1]  # (3, B)
-            arm2 = c.pos - com.root_com[c.body2]
-            lin1 = LIN + l_cross(ANG, arm1[None])
-            lin2 = LIN + l_cross(ANG, arm2[None])
-            mask1 = const_col(body_dof_mask[c.body1], dtype)[:, :, None]  # (nv,1,1)
-            mask2 = const_col(body_dof_mask[c.body2], dtype)[:, :, None]
-            jac = mask2 * lin2 - mask1 * lin1  # (nv, 3, B)
-            t1, t2 = tangent_frame_l(c.normal)
-            n_row = usum(jac * c.normal[None], 1)  # (nv, B)
-            t1_row = usum(jac * t1[None], 1)
-            t2_row = usum(jac * t2[None], 1)
+        rc1 = jnp.stack([com.root_com[b] for b in contacts.body1])  # (C, 3, B)
+        rc2 = jnp.stack([com.root_com[b] for b in contacts.body2])
+        arm1 = contacts.pos - rc1
+        arm2 = contacts.pos - rc2
+        t1d, t2d = tangent_frame_l(contacts.normal)  # (C, 3, B)
+        # jnp.full-based constant columns: Pallas kernels cannot capture
+        # literal-array constants (lane_engine.const_col note)
+        cc1 = lambda v: const_col(np.asarray(v, np.float64), dtype)  # noqa: E731
+        cmask = lambda bs: jnp.stack(  # noqa: E731 — (C, nv, 1) dof masks
+            [const_col(body_dof_mask[b], dtype) for b in bs]
+        )
+        m1c = cmask(contacts.body1)
+        m2c = cmask(contacts.body2)
 
-            pos = c.dist - c.includemargin
-            imp = impedance_l(c.solimp, pos)
-            k, b = kb_from_solref_np(c.solref, c.solimp, ts)
-            mu = c.friction
-            inv_w = float(body_invweight0[c.body1, 0] + body_invweight0[c.body2, 0])
-            active = (c.dist < c.includemargin).astype(dtype)
-            if m.cone_pyramidal:
-                diag_approx = max(2.0 * inv_w * mu * mu * (1.0 + mu * mu), _MINVAL)
-                reg = (1.0 - imp) / jnp.maximum(imp, _MINIMP) * diag_approx
-                for row in (n_row + mu * t1_row, n_row - mu * t1_row, n_row + mu * t2_row, n_row - mu * t2_row):
-                    vel = usum(row * qvel, 0)
-                    rows_J.append(row)
-                    rows_aref.append(-b * vel - k * imp * pos)
-                    rows_reg.append(reg)
-                    rows_active.append(active)
-                    rows_diag.append(diag_approx * jnp.ones_like(active))
-            else:
-                # elliptic: friction rows have pos=0 / K=0, share the normal
-                # row's impedance, and R is divided by impratio (semantics
-                # verified vs CPU MuJoCo efc_*; see solver.py docstring)
-                reg_n = (1.0 - imp) / jnp.maximum(imp, _MINIMP) * max(inv_w, _MINVAL)
-                reg_t = reg_n / float(_np(m.impratio))
-                for g, (row, rg) in enumerate(
-                    ((n_row, reg_n), (t1_row, reg_t), (t2_row, reg_t))
-                ):
-                    vel = usum(row * qvel, 0)
-                    aref = -b * vel - k * imp * pos if g == 0 else -b * vel
-                    ell_J[g].append(row)
-                    ell_aref[g].append(aref)
-                    ell_reg[g].append(rg)
-                    ell_active[g].append(active)
-                    ell_diag[g].append(max(inv_w, _MINVAL) * jnp.ones_like(active))
-        if not m.cone_pyramidal:
-            for g in range(3):
-                rows_J.extend(ell_J[g])
-                rows_aref.extend(ell_aref[g])
-                rows_reg.extend(ell_reg[g])
-                rows_active.extend(ell_active[g])
-                rows_diag.extend(ell_diag[g])
+        def rows_for(d: jnp.ndarray) -> jnp.ndarray:
+            """J·d rows for all contacts: (C, 3, B) direction -> (C, nv, B)."""
+            lin_d = usum(LIN[None] * d[:, None], -2)  # LIN_v·d_c
+            ang1 = usum(ANG[None] * l_cross(arm1, d)[:, None], -2)  # ANG_v·(arm1 x d)
+            ang2 = usum(ANG[None] * l_cross(arm2, d)[:, None], -2)
+            return m2c * (lin_d + ang2) - m1c * (lin_d + ang1)
 
-    if not rows_J:
+        row_n = rows_for(contacts.normal)
+        row_t1 = rows_for(t1d)
+        row_t2 = rows_for(t2d)
+
+        margin_c = cc1(contacts.includemargin)
+        pos = contacts.dist - margin_c  # (C, B)
+        imp = impedance_lc(contacts.solimp, pos)
+        k_np = np.empty(CC)
+        b_np = np.empty(CC)
+        for i in range(CC):
+            k_np[i], b_np[i] = kb_from_solref_np(contacts.solref[i], contacts.solimp[i], ts)
+        k_c, b_c = cc1(k_np), cc1(b_np)
+        mu_np = np.asarray(contacts.friction, np.float64)
+        inv_w_np = np.maximum(
+            np.asarray(
+                [
+                    body_invweight0[b1, 0] + body_invweight0[b2, 0]
+                    for b1, b2 in zip(contacts.body1, contacts.body2)
+                ]
+            ),
+            _MINVAL,
+        )
+        active = (contacts.dist < margin_c).astype(dtype)  # (C, B)
+
+        def contract_vel(row: jnp.ndarray) -> jnp.ndarray:
+            prod = row * qvel[None]
+            return jnp.sum(prod, axis=1) if m.nv >= 8 else usum(prod, 1)
+
+        if m.cone_pyramidal:
+            mu_c = cc1(mu_np)
+            diag_np = np.maximum(2.0 * inv_w_np * mu_np**2 * (1.0 + mu_np**2), _MINVAL)
+            reg = (1.0 - imp) / jnp.maximum(imp, _MINIMP) * cc1(diag_np)
+            facets = jnp.stack(
+                [
+                    row_n + mu_c[..., None] * row_t1,
+                    row_n - mu_c[..., None] * row_t1,
+                    row_n + mu_c[..., None] * row_t2,
+                    row_n - mu_c[..., None] * row_t2,
+                ],
+                axis=1,
+            )  # (C, 4, nv, B) -> contact-major facet rows
+            J_c = facets.reshape(CC * 4, m.nv, B)
+            vel = contract_vel(J_c)
+            rep4 = lambda a: jnp.repeat(a, 4, axis=0)  # noqa: E731 (C,B)->(4C,B)
+            aref_c = -rep4(b_c * jnp.ones_like(pos)) * vel - rep4(k_c * imp * pos)
+            c_parts = [J_c, aref_c, rep4(reg), rep4(active), rep4(cc1(diag_np) * jnp.ones_like(active))]
+        else:
+            # elliptic: friction rows have pos=0 / K=0, share the normal
+            # row's impedance, and R is divided by impratio (semantics
+            # verified vs CPU MuJoCo efc_*; see solver.py docstring)
+            reg_n = (1.0 - imp) / jnp.maximum(imp, _MINIMP) * cc1(inv_w_np)
+            reg_t = reg_n / float(_np(m.impratio))
+            vel_n = contract_vel(row_n)
+            vel_t1 = contract_vel(row_t1)
+            vel_t2 = contract_vel(row_t2)
+            J_c = jnp.concatenate([row_n, row_t1, row_t2], axis=0)  # grouped
+            aref_c = jnp.concatenate(
+                [-b_c * vel_n - k_c * imp * pos, -b_c * vel_t1, -b_c * vel_t2], axis=0
+            )
+            reg_c = jnp.concatenate([reg_n, reg_t, reg_t], axis=0)
+            act3 = jnp.concatenate([active, active, active], axis=0)
+            diag_c = jnp.broadcast_to(cc1(np.tile(inv_w_np, 3)), (3 * CC, B))
+            c_parts = [J_c, aref_c, reg_c, act3, diag_c]
+
+    if not rows_J and c_parts is None:
         return None
-    return LaneRows(
-        J=jnp.stack(rows_J),
-        aref=jnp.stack(rows_aref),
-        reg=jnp.stack(rows_reg),
-        active=jnp.stack(rows_active),
-        diag=jnp.stack(rows_diag),
-    )
+    if rows_J:
+        lim = [
+            jnp.stack(rows_J),
+            jnp.stack(rows_aref),
+            jnp.stack(rows_reg),
+            jnp.stack(rows_active),
+            jnp.stack(rows_diag),
+        ]
+        parts = lim if c_parts is None else [
+            jnp.concatenate([a, b], axis=0) for a, b in zip(lim, c_parts)
+        ]
+    else:
+        parts = c_parts
+    return LaneRows(J=parts[0], aref=parts[1], reg=parts[2], active=parts[3], diag=parts[4])
 
 
 def solve_dual_qp_l(
@@ -355,8 +420,7 @@ def solve_dual_qp_l(
     # Jacobi preconditioning (matches solver.solve_dual_qp_matfree): fold
     # D^-1/2 into J once — Js rows are scaled copies, so apply_A / Lipschitz
     # run on the scaled operator with zero extra per-iteration cost. ``diag``
-    # is the static invweight diagApprox from assembly; uniform across each
-    # elliptic triplet so the SOC projection is preserved.
+    # is the static invweight diagApprox from assembly.
     if diag is not None:
         inv_s = jax.lax.rsqrt(jnp.maximum(diag + reg, _MINVAL))  # (nefc, B)
     else:
@@ -369,7 +433,15 @@ def solve_dual_qp_l(
         from judo_tpu.physics.lane_engine import const_col
 
         nc = len(mus)
-        mu_c = const_col(mus, dtype)  # (C, 1)
+        # Per-row scaling distorts the SOC: f = inv_s * g maps
+        # {||f_t|| <= mu f_n} to {||g_t|| <= mu' g_n} with
+        # mu' = mu * inv_s_n / inv_s_t (reg_t = reg_n / impratio makes inv_s
+        # non-uniform within a triplet even though diag is uniform; both
+        # tangent rows share reg_t, so one per-contact-per-lane mu' is
+        # exact — matches solver.solve_dual_qp_matfree).
+        s_n = inv_s[ncon_start : ncon_start + nc]
+        s_t = inv_s[ncon_start + nc : ncon_start + 2 * nc]
+        mu_c = const_col(mus, dtype) * s_n / jnp.maximum(s_t, _MINVAL)  # (nc, B)
 
         def project(z):
             zn = jnp.maximum(z[:ncon_start], 0.0)
@@ -712,7 +784,7 @@ def step_l(
     sens = evaluate_sensors_l(m, kin, qpos, qvel)
 
     if nefc > 0:
-        contacts = find_contacts_l(m, kin) if has_contacts else []
+        contacts = find_contacts_l(m, kin) if has_contacts else None
         rows = assemble_constraints_l(m, com, contacts, qpos, qvel)
         J = rows.J * rows.active[:, None, :]
         aref = rows.aref * rows.active
@@ -721,7 +793,9 @@ def step_l(
         iters = max(m.solver_iterations if solver_iterations is None else solver_iterations, 8)
         from judo_tpu.physics.solver import num_noncontact_rows
 
-        mus = None if m.cone_pyramidal else [c.friction for c in contacts]
+        mus = None
+        if not m.cone_pyramidal and contacts is not None:
+            mus = [float(v) for v in contacts.friction]
         diag = jnp.where(rows.active > 0, rows.diag, 1.0)
         f, cw_v_out = solve_dual_qp_l(
             J, minv, reg, b, iters, f_warm, lipschitz,

@@ -273,6 +273,212 @@ def _build_fused_rollout(
     return rollout_fn
 
 
+def _build_fused_policy_rollout(
+    m: PhysicsModel,
+    policy,
+    T: int,
+    substeps: int,
+    iterations: int | None,
+    interpret: bool,
+):
+    """The WHOLE policy-in-the-loop rollout as one ``pallas_call``.
+
+    Same structure as _build_fused_rollout (grid (tiles, T), VMEM-carried
+    state), with per-step COMMANDS streamed instead of ctrl: the kernel body
+    runs obs -> locomotion MLP -> ctrl mapping -> ``substeps`` physics steps,
+    carrying the 12-dim policy output per lane in VMEM scratch. The MLP
+    weights close over the kernel as constants (~840 KB f32 — loaded to VMEM
+    once per tile).
+
+    Replaces: the reference's C++ System::rollout policy threads
+    (mujoco_extensions/system/system_class.cpp:272-331) — and the 125 ms
+    cutoff watchdog becomes a deterministic budget by construction.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from judo_tpu.tasks.spot.policy_lanes import (
+        SpotPolicyLanes,
+        lanes_weight_tensors,
+        spot_policy_step_l,
+    )
+
+    nefc = num_constraint_rows(m)
+    nq, nv, ns = m.nq, m.nv, m.nsensordata
+    ncmd = 25
+    nefc_ = max(nefc, 1)
+    ns_ = max(ns, 1)
+    waugs_np = lanes_weight_tensors(policy)  # [W^T | b] per layer, host
+    acts = tuple(policy.mlp.activations)
+    n_layers = len(waugs_np)
+
+    def kernel(qpos_ref, qvel_ref, pout0_ref, cmd_ref, *rest):
+        w_refs = rest[:n_layers]
+        oq_ref, ov_ref, os_ref, op_ref, qp_s, qv_s, po_s, f_s, v_s = rest[n_layers:]
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            qp_s[:] = qpos_ref[:]
+            qv_s[:] = qvel_ref[:]
+            po_s[:] = pout0_ref[:]
+            f_s[:] = jnp.zeros_like(f_s)
+            v_s[:] = jnp.ones_like(v_s)
+
+        lp = SpotPolicyLanes(waugs=tuple(w[:] for w in w_refs), acts=acts)
+        out = spot_policy_step_l(
+            m, lp, qp_s[:], qv_s[:], cmd_ref[0], po_s[:],
+            physics_substeps=substeps,
+            f_warm=f_s[:] if nefc else None,
+            cw_v=v_s[:] if nefc else None,
+            solver_iterations=iterations,
+            in_pallas=not interpret,
+        )
+        qp_s[:] = out.qpos
+        qv_s[:] = out.qvel
+        po_s[:] = out.policy_output
+        if nefc:
+            f_s[:] = out.efc_force
+            v_s[:] = out.cw_v
+        oq_ref[0] = out.qpos
+        ov_ref[0] = out.qvel
+        os_ref[0] = out.sensordata if ns else jnp.zeros_like(os_ref[0])
+        op_ref[0] = out.policy_output
+
+    def rollout_fn(qpos, qvel, pout0, cmds):
+        """(nq,B), (nv,B), (12,B), (T,ncmd,B) ->
+        ((T,nq,B), (T,nv,B), (T,ns_,B), (T,12,B))."""
+        B = qpos.shape[-1]
+        assert B % LANE_TILE == 0, f"lane batch {B} must be a multiple of {LANE_TILE}"
+        dtype = qpos.dtype
+        tile = pick_lane_tile(B)
+        grid = (B // tile, T)
+        in_specs = [
+            pl.BlockSpec((nq, tile), lambda i, t: (0, i)),
+            pl.BlockSpec((nv, tile), lambda i, t: (0, i)),
+            pl.BlockSpec((12, tile), lambda i, t: (0, i)),
+            pl.BlockSpec((1, ncmd, tile), lambda i, t: (t, 0, i)),
+        ] + [
+            # MLP weights: whole block, same for every grid step (loaded once)
+            pl.BlockSpec(w.shape, lambda i, t: (0, 0))
+            for w in waugs_np
+        ]
+        out_specs = (
+            pl.BlockSpec((1, nq, tile), lambda i, t: (t, 0, i)),
+            pl.BlockSpec((1, nv, tile), lambda i, t: (t, 0, i)),
+            pl.BlockSpec((1, ns_, tile), lambda i, t: (t, 0, i)),
+            pl.BlockSpec((1, 12, tile), lambda i, t: (t, 0, i)),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((T, nq, B), dtype),
+            jax.ShapeDtypeStruct((T, nv, B), dtype),
+            jax.ShapeDtypeStruct((T, ns_, B), dtype),
+            jax.ShapeDtypeStruct((T, 12, B), dtype),
+        )
+        scratch_shapes = [
+            pltpu.VMEM((nq, tile), dtype),
+            pltpu.VMEM((nv, tile), dtype),
+            pltpu.VMEM((12, tile), dtype),
+            pltpu.VMEM((nefc_, tile), dtype),
+            pltpu.VMEM((nefc_, tile), dtype),
+        ]
+        w_args = [jnp.asarray(w, dtype) for w in waugs_np]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                dimension_semantics=(
+                    pltpu.GridDimensionSemantics.ARBITRARY,
+                    pltpu.GridDimensionSemantics.ARBITRARY,
+                ),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(qpos, qvel, pout0, cmds, *w_args)
+
+    return rollout_fn
+
+
+class PolicyLaneRolloutOutput(NamedTuple):
+    states: jnp.ndarray  # (R, T, nq + nv)
+    sensordata: jnp.ndarray  # (R, T, nsensordata)
+    final_policy_output: jnp.ndarray  # (R, 12)
+
+
+def policy_rollout_lanes(
+    m: PhysicsModel,
+    policy,
+    qpos0: jnp.ndarray,  # (R, nq)
+    qvel0: jnp.ndarray,  # (R, nv)
+    commands: jnp.ndarray,  # (R, T, 25)
+    last_policy_output: jnp.ndarray,  # (R, 12)
+    physics_substeps: int = 2,
+    iterations: int | None = None,
+    backend: str = "pallas",
+) -> PolicyLaneRolloutOutput:
+    """Batched policy-in-the-loop rollout, lanes formulation (the Spot
+    counterpart of rollout_lanes; semantics match vmap(policy.policy_rollout)
+    with exact per-step inverses)."""
+    R, T = commands.shape[0], commands.shape[1]
+    nefc = num_constraint_rows(m)
+    ns = m.nsensordata
+    dtype = qpos0.dtype
+
+    pad = (-R) % LANE_TILE if backend in ("pallas", "interpret") else 0
+    B = R + pad
+    qp = jnp.concatenate([qpos0, jnp.repeat(qpos0[-1:], pad, axis=0)], axis=0).T
+    qv = jnp.concatenate([qvel0, jnp.repeat(qvel0[-1:], pad, axis=0)], axis=0).T
+    po = jnp.concatenate(
+        [last_policy_output, jnp.repeat(last_policy_output[-1:], pad, axis=0)], axis=0
+    ).T  # (12, B)
+    ct = jnp.concatenate([commands, jnp.repeat(commands[-1:], pad, axis=0)], axis=0)
+    ct = jnp.transpose(ct, (1, 2, 0))  # (T, 25, B)
+
+    if backend in ("pallas", "interpret"):
+        roll = _build_fused_policy_rollout(
+            m, policy, T, physics_substeps, iterations, interpret=(backend == "interpret")
+        )
+        qps, qvs, senss, pouts = roll(qp, qv, po, ct)
+    elif backend == "xla":
+        from judo_tpu.tasks.spot.policy_lanes import lanes_policy_params, spot_policy_step_l
+
+        lp = lanes_policy_params(policy, dtype)
+        f0 = jnp.zeros((max(nefc, 1), B), dtype)
+        v0 = jnp.ones((max(nefc, 1), B), dtype)
+
+        def body(carry, cmd_t):
+            qp_, qv_, po_, f, v = carry
+            out = spot_policy_step_l(
+                m, lp, qp_, qv_, cmd_t, po_,
+                physics_substeps=physics_substeps,
+                f_warm=f if nefc else None, cw_v=v if nefc else None,
+                solver_iterations=iterations,
+            )
+            fo = out.efc_force if nefc else f
+            vo = out.cw_v if nefc else v
+            return (out.qpos, out.qvel, out.policy_output, fo, vo), (
+                out.qpos, out.qvel,
+                out.sensordata if ns else jnp.zeros((1, B), dtype),
+                out.policy_output,
+            )
+
+        _, (qps, qvs, senss, pouts) = jax.lax.scan(body, (qp, qv, po, f0, v0), ct)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown lane backend {backend!r}")
+
+    states = jnp.concatenate([qps, qvs], axis=1)  # (T, nq+nv, B)
+    states = jnp.transpose(states, (2, 0, 1))[:R]
+    senss = jnp.transpose(senss, (2, 0, 1))[:R, :, : max(ns, 1)]
+    if ns == 0:
+        senss = senss[:, :, :0]
+    final_pout = jnp.transpose(pouts[T - 1], (1, 0))[:R]  # (R, 12)
+    return PolicyLaneRolloutOutput(states=states, sensordata=senss, final_policy_output=final_pout)
+
+
 class LaneRolloutOutput(NamedTuple):
     states: jnp.ndarray  # (R, T, nq + nv)
     sensordata: jnp.ndarray  # (R, T, nsensordata)

@@ -347,9 +347,13 @@ def actuation(m: PhysicsModel, s: PhysicsState, ctrl: jnp.ndarray) -> jnp.ndarra
         limited = np.zeros(m.nv)
         sel_j = np.zeros((m.njnt, m.nv))
         for j in range(m.njnt):
-            if m.jnt_actfrclimited[j] and m.jnt_type[j] in (SLIDE, HINGE):
-                limited[m.jnt_dofadr[j]] = 1.0
-                sel_j[j, m.jnt_dofadr[j]] = 1.0
+            if m.jnt_actfrclimited[j]:
+                # MuJoCo clamps EVERY dof of an actfrclimited joint, not just
+                # scalar joints (advisor r4) — ball: 3 dofs, free: 6
+                ndof = {FREE: 6, BALL: 3}.get(m.jnt_type[j], 1)
+                for d in range(ndof):
+                    limited[m.jnt_dofadr[j] + d] = 1.0
+                    sel_j[j, m.jnt_dofadr[j] + d] = 1.0
         sel_j = jnp.asarray(sel_j, dtype)
         lo = sel_j.T @ m.jnt_actfrcrange[:, 0]
         hi = sel_j.T @ m.jnt_actfrcrange[:, 1]

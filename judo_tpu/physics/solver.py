@@ -365,11 +365,9 @@ def solve_dual_qp_matfree(
     # aref stiffness) with soft contact rows — condition numbers >1e4 — and
     # fixed-step APGD needs hundreds of iterations unpreconditioned (measured
     # on fr3_pick: qacc error ~1e3 at 25 iters). Diagonal scaling clusters
-    # the spectrum; the orthant is invariant under any positive row scaling,
-    # and the elliptic SOC is preserved because the diag approximation is
-    # UNIFORM across each contact's 3 rows (body invweight0 sum — MuJoCo's
-    # diagApprox, statically emitted by assemble_constraints). When no diag
-    # is supplied, the exact diag(A) is computed (one elementwise pass).
+    # the spectrum; the orthant is invariant under any positive row scaling.
+    # When no diag is supplied, the exact diag(A) is computed (one
+    # elementwise pass).
     if diag is None:
         diag = jnp.sum(J * minv_jt.T, axis=1)
         if mus is not None:
@@ -380,6 +378,19 @@ def solve_dual_qp_matfree(
     if not _PRECONDITION:  # A/B escape hatch (scratch benchmarking only)
         diagA = jnp.ones_like(diagA)
     inv_s = jax.lax.rsqrt(jnp.maximum(diagA, _MINVAL))  # D^-1/2
+    # Elliptic cone under per-row scaling: substituting f = inv_s * g maps
+    # {||f_t|| <= mu f_n} to {||g_t|| <= mu' g_n} with
+    # mu' = mu * inv_s_n / inv_s_t. Although the diag approximation is
+    # uniform per contact triplet, reg is NOT (reg_t = reg_n / impratio), so
+    # inv_s differs between normal and tangent rows; both tangent rows share
+    # reg_t, so one per-contact mu' transforms the cone exactly. Projecting
+    # with the original mu in g-space would solve a QP with an inflated,
+    # impedance-dependent friction mu*sqrt((d+reg_n)/(d+reg_t)).
+    if mus is not None:
+        C = mus.shape[0]
+        s_n = inv_s[ncon_start : ncon_start + C]
+        s_t = inv_s[ncon_start + C : ncon_start + 2 * C]
+        mus = mus * s_n / jnp.maximum(s_t, _MINVAL)
 
     Js = J * inv_s[:, None]
     minv_jts = minv_jt * inv_s[None, :]

@@ -49,6 +49,10 @@ def test_node_task_switch_guards_stale_states():
     ctrl_node.step_once()
     # switch controller to a different task; old states (nq=2) must be ignored
     ctrl_node._on_task("cylinder_push")
+    # the switch warm-compiles on a worker thread (the control loop keeps
+    # planning the OLD task meanwhile); join it for deterministic assertions
+    assert ctrl_node.controller.task.name == "cartpole"  # not blocked
+    ctrl_node.join_switch()
     assert ctrl_node.controller.task.name == "cylinder_push"
     out = ctrl_node.step_once()  # stale cartpole state on the bus -> skip
     assert out is None

@@ -81,6 +81,36 @@ def test_cold_start_bounded(mid_rollout_state):
     assert rel < 1.0, f"cold-start relative dv error {rel:.3f} >= 1.0 (diverging?)"
 
 
+def test_converged_forces_respect_friction_cone(mid_rollout_state):
+    """Converged elliptic forces must satisfy ||f_t|| <= mu * f_n per contact.
+
+    Advisor r4 (high): Jacobi preconditioning with per-row reg (reg_t =
+    reg_n/impratio) distorts the SOC, and projecting with the ORIGINAL mu in
+    the scaled space converges to forces violating the cone by ~5%. Fixed by
+    projecting with mu' = mu * inv_s_n / inv_s_t; this test pins it.
+    """
+    from judo_tpu.physics.lane_collision import find_contacts_l
+    from judo_tpu.physics.lane_engine import kinematics_l
+    from judo_tpu.physics.solver import num_noncontact_rows
+
+    pm, qv, ref, step = mid_rollout_state
+    assert not pm.cone_pyramidal
+    f = np.asarray(ref.efc_force)  # (nefc, B)
+    n0 = num_noncontact_rows(pm)
+    nc = (f.shape[0] - n0) // 3
+    # static per-candidate friction, same construction as step_l
+    task = LeapCube()
+    kin = kinematics_l(pm, jnp.asarray(np.tile(task.data.qpos, (4, 1)).T, jnp.float32))
+    mus = np.asarray(find_contacts_l(pm, kin).friction, np.float32)
+    assert mus.shape[0] == nc
+    fn = f[n0 : n0 + nc]
+    ft = np.sqrt(f[n0 + nc : n0 + 2 * nc] ** 2 + f[n0 + 2 * nc :] ** 2)
+    # relative cone violation, zero-force contacts excluded via the floor
+    viol = (ft - mus[:, None] * fn) / np.maximum(mus[:, None] * np.abs(fn), 1e-6)
+    assert fn.min() >= -1e-5, "normal forces must be nonnegative"
+    assert viol.max() < 1e-3, f"friction-cone violation {viol.max():.2%} (>=0.1%)"
+
+
 def test_more_iterations_do_not_diverge(mid_rollout_state):
     """The CW bound is a valid upper bound: doubling iterations must only
     refine the solution, never blow up."""
