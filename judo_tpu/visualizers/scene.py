@@ -40,6 +40,7 @@ class SceneGeom:
     pos: np.ndarray  # local offset in body frame
     quat: np.ndarray
     rgba: np.ndarray
+    mesh_tri: np.ndarray | None = None  # (F, 3, 3) triangle soup (mesh geoms)
 
 
 @dataclass
@@ -85,6 +86,11 @@ class SceneModel:
                             "pos": g.pos.tolist(),
                             "quat": g.quat.tolist(),
                             "rgba": g.rgba.tolist(),
+                            **(
+                                {"verts": np.round(g.mesh_tri.reshape(-1), 4).tolist()}
+                                if g.mesh_tri is not None
+                                else {}
+                            ),
                         }
                         for g in b.geoms
                     ],
@@ -95,6 +101,29 @@ class SceneModel:
         }
 
 
+def _extract_mesh_triangles(model: mujoco.MjModel, mesh_id: int, max_faces: int = 3000):
+    """(F, 3, 3) triangle soup for a compiled mesh asset.
+
+    Large meshes are decimated to their convex hull (scipy) so the wire
+    payload stays small — hull fidelity is the reference's own fallback for
+    meshes without materials (judo/visualizers/model.py mesh path)."""
+    if mesh_id < 0 or mesh_id >= model.nmesh:
+        return None
+    va, vn = int(model.mesh_vertadr[mesh_id]), int(model.mesh_vertnum[mesh_id])
+    fa, fn = int(model.mesh_faceadr[mesh_id]), int(model.mesh_facenum[mesh_id])
+    verts = np.asarray(model.mesh_vert[va : va + vn], np.float64)
+    faces = np.asarray(model.mesh_face[fa : fa + fn], np.int64)
+    if fn > max_faces:
+        try:
+            from scipy.spatial import ConvexHull
+
+            hull = ConvexHull(verts)
+            verts, faces = hull.points, hull.simplices
+        except Exception:  # noqa: BLE001 — fall back to truncation
+            faces = faces[:max_faces]
+    return verts[faces]
+
+
 def build_scene(model: mujoco.MjModel, show_collision_geoms: bool = True) -> SceneModel:
     """Extract the render scene from a compiled model."""
     bodies: list[SceneBody] = []
@@ -102,10 +131,18 @@ def build_scene(model: mujoco.MjModel, show_collision_geoms: bool = True) -> Sce
 
     for g in range(model.ngeom):
         gtype = _GEOM_TYPE_NAMES.get(int(model.geom_type[g]))
-        if gtype is None or gtype == "mesh":
-            continue  # meshes unsupported in the mesh-free build
+        if gtype is None:
+            continue
         if not show_collision_geoms and model.geom_contype[g] != 0:
             continue
+        mesh_tri = None
+        if gtype == "mesh":
+            # user-supplied MJCF mesh assets render as triangle soups (the
+            # builtin scenes are mesh-free by design — primitive builders);
+            # reference analogue: judo/visualizers/model.py:38-302
+            mesh_tri = _extract_mesh_triangles(model, int(model.geom_dataid[g]))
+            if mesh_tri is None:
+                continue
         name = mujoco.mj_id2name(model, mujoco.mjtObj.mjOBJ_GEOM, g) or f"geom_{g}"
         body_id = int(model.geom_bodyid[g])
         body_geoms[body_id].append(
@@ -117,6 +154,7 @@ def build_scene(model: mujoco.MjModel, show_collision_geoms: bool = True) -> Sce
                 pos=model.geom_pos[g].copy(),
                 quat=model.geom_quat[g].copy(),
                 rgba=model.geom_rgba[g].copy(),
+                mesh_tri=mesh_tri,
             )
         )
 

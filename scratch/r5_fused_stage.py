@@ -35,6 +35,9 @@ ITERS = 10
 
 def make_step(stage):
     def step(qp, qv, ctrl, f, v):
+        if stage == "empty":
+            qvn = qv * 0.999 + 1e-9 * jnp.sum(ctrl, axis=0)[None]
+            return qp + 1e-9 * jnp.sum(qvn, axis=0)[None], qvn, f, v
         kin = le.kinematics_l(pm, qp)
         if stage == "kin":
             # consume kin so it isn't DCE'd; integrate to keep the carry alive
@@ -64,7 +67,7 @@ def make_step(stage):
                 qacc = qacc_smooth + 1e-12 * minv_mv(jt_vec_chunked(J, b))
                 fo, vo = b, v
             else:
-                mus = None if pm.cone_pyramidal else [c.friction for c in contacts]
+                mus = None if pm.cone_pyramidal else [float(x) for x in contacts.friction]
                 diag = jnp.where(rows.active > 0, rows.diag, 1.0)
                 it = {"full": ITERS, "it5": 5, "it20": 20}[stage]
                 fo, vo = solve_dual_qp_l(
@@ -149,7 +152,7 @@ ct = jnp.asarray(
 )
 
 import sys
-stages = sys.argv[1:] if len(sys.argv) > 1 else ["kin", "smooth", "assemble", "full", "it5", "it20"]
+stages = sys.argv[1:] if len(sys.argv) > 1 else ["empty", "kin", "smooth", "assemble", "full", "it5", "it20"]
 for stage in stages:
     roll = jax.jit(build(stage))
     t0 = time.perf_counter()
@@ -157,10 +160,14 @@ for stage in stages:
     jax.block_until_ready(out)
     comp = time.perf_counter() - t0
     ts = []
-    for _ in range(15):
+    outs = []
+    for _ in range(25):  # pipelined: hide the ~20 ms tunnel round trip
         t0 = time.perf_counter()
-        jax.block_until_ready(roll(qp0, qv0, ct))
+        outs.append(roll(qp0, qv0, ct))
+        if len(outs) > 2:
+            jax.block_until_ready(outs.pop(0))
         ts.append(time.perf_counter() - t0)
+    jax.block_until_ready(outs)
     fin = bool(jnp.isfinite(out[0]).all())
     print(
         f"{stage:10s} p50 {np.median(ts)*1e3:8.2f} ms  ({np.median(ts)/T*1e6/ (B//TILE):6.1f} us/tile-step)"

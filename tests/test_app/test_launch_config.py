@@ -47,3 +47,40 @@ def test_cli_flags_override_yaml():
     apply_launch_config(args)
     assert args.task == "cartpole"  # explicit flag wins
     assert args.optimizer == "my_cem"  # yaml default applies
+
+
+def test_registered_overrides_reapply_on_gui_task_switch():
+    """Launch-registered per-task overrides must re-apply when the GUI
+    switches tasks mid-run (reference: the visualizer re-applies registered
+    controller/optimizer overrides on switch, visualizer.py:126-134)."""
+    import numpy as np
+
+    from judo_tpu.app.bus import MessageBus
+    from judo_tpu.app.nodes import ControllerNode
+    from judo_tpu.config import set_config_overrides
+    from judo_tpu.controller import ControllerConfig
+    from judo_tpu.optimizers import get_registered_optimizers
+
+    from judo_tpu.config import _OVERRIDE_REGISTRY
+
+    np.random.seed(0)
+    mppi_cfg_cls = get_registered_optimizers()["mppi"][1]
+    # snapshot the registry entries; set_config_overrides MERGES, so restore
+    # must rewrite the saved dicts
+    saved = {
+        cls: dict(_OVERRIDE_REGISTRY[cls]["cylinder_push"])
+        for cls in (ControllerConfig, mppi_cfg_cls)
+    }
+    set_config_overrides("cylinder_push", ControllerConfig, {"horizon": 0.77})
+    set_config_overrides("cylinder_push", mppi_cfg_cls, {"num_rollouts": 24})
+    try:
+        bus = MessageBus()
+        node = ControllerNode(bus, "cartpole", "mppi")
+        bus.publish("task", "cylinder_push")
+        node.join_switch(timeout=300)
+        assert node.controller.task.name == "cylinder_push"
+        assert node.controller.controller_cfg.horizon == 0.77
+        assert node.controller.optimizer_cfg.num_rollouts == 24
+    finally:
+        for cls, vals in saved.items():
+            _OVERRIDE_REGISTRY[cls]["cylinder_push"] = vals

@@ -140,3 +140,34 @@ def test_goal_marker_protocol_roundtrip():
     binding.set_value(("goal_pos", "1"), -0.2)
     np.testing.assert_allclose(cfg.goal_pos, [0.31, -0.2])
     assert binding.changed.is_set()  # consuming node republishes the config
+
+
+def test_build_scene_renders_mesh_geoms():
+    """User MJCF mesh assets reach the wire as triangle soups (the builtin
+    scenes are mesh-free; reference mesh path: judo/visualizers/model.py)."""
+    import mujoco
+
+    from judo_tpu.visualizers.scene import build_scene
+
+    xml = """
+    <mujoco>
+      <asset>
+        <mesh name="tet" vertex="0 0 0  1 0 0  0 1 0  0 0 1"/>
+      </asset>
+      <worldbody>
+        <body name="b"><freejoint/>
+          <geom type="mesh" mesh="tet" rgba="0.8 0.2 0.2 1"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    model = mujoco.MjModel.from_xml_string(xml)
+    scene = build_scene(model)
+    geoms = [g for b in scene.bodies for g in b.geoms]
+    mesh_geoms = [g for g in geoms if g.geom_type == "mesh"]
+    assert len(mesh_geoms) == 1
+    tri = mesh_geoms[0].mesh_tri
+    assert tri is not None and tri.ndim == 3 and tri.shape[1:] == (3, 3)
+    wire = scene.to_dict()
+    wg = [g for b in wire["bodies"] for g in b["geoms"] if g["type"] == "mesh"]
+    assert len(wg) == 1 and len(wg[0]["verts"]) == tri.size
