@@ -51,15 +51,23 @@ class ControllerConfig(OverridableConfig):
     action_normalizer: Literal["none", "min_max", "running"] = "none"
     # APGD budget for the lanes physics path (None = the model's own solver
     # iterations). The preconditioned CW-bounded solver tracks a converged
-    # reference to ~2e-5 at 8 warm-started iterations on the leap scene
-    # (tests/test_physics/test_solver_quality.py); 10 leaves safety margin.
-    solver_iterations: int | None = 10
+    # reference to ~2e-5 at 8 warm-started iterations on the leap scene, and
+    # since the r5 cone fix cold starts converge cleanly too
+    # (tests/test_physics/test_solver_quality.py) — 8 is the shipping budget.
+    solver_iterations: int | None = 8
     # >0: pipeline the solve — update_action dispatches the new solve before
     # syncing the previous one's outputs (host mirrors lag by `depth` solves;
     # the on-device carry chains without host sync, so the optimization state
     # is never stale). Hides dispatch latency; steady-state per-solve wall
     # time approaches pure device compute.
     pipeline_depth: int = 0
+    # return the full per-rollout tensors (states/sensors/controls/knots) from
+    # the jitted solve. Default False: everything the host needs rides the
+    # packed mirror, and returning ~13 MB of per-solve tensors the host never
+    # reads costs real per-call time on proxied-TPU transports (measured:
+    # scratch/r5_dispatch_floor.txt). Forced on when the task overrides
+    # post_rollout (which receives those tensors).
+    full_outputs: bool = False
 
 
 @struct.dataclass
@@ -78,11 +86,14 @@ class SolverState:
 
 class SolveOutputs(NamedTuple):
     rewards: jnp.ndarray  # (R,)
-    states: jnp.ndarray  # (R, T, nq + nv)
-    sensors: jnp.ndarray  # (R, T, nsensordata)
-    rollout_controls: jnp.ndarray  # (R, T, nu)
-    candidate_knots: jnp.ndarray  # (R, N, nu)
-    traces: jnp.ndarray  # (num_elites, num_trace_sensors, T-1, 2, 3)
+    # the big per-rollout tensors are None unless ControllerConfig
+    # .full_outputs (or a post_rollout override) asks for them — see the
+    # config field's comment
+    states: jnp.ndarray | None  # (R, T, nq + nv)
+    sensors: jnp.ndarray | None  # (R, T, nsensordata)
+    rollout_controls: jnp.ndarray | None  # (R, T, nu)
+    candidate_knots: jnp.ndarray | None  # (R, N, nu)
+    traces: jnp.ndarray | None  # (num_elites, num_trace_sensors, T-1, 2, 3)
     # flat [times | knots | rewards | traces] — everything the host mirrors
     # need, packed device-side so the per-solve device->host sync is ONE
     # transfer (each separate pull costs a transport round trip)
@@ -291,6 +302,7 @@ class Controller:
             # remaining trace-time captured values, so LRU-cached closures can
             # never go stale when a knob cycles A->B->A with these changed
             cc.solver_iterations,
+            bool(cc.full_outputs),
             int(self.task.physics_substeps),
             bool(self.task.uses_locomotion_policy),
             hash(np.asarray(self.task.actuator_ctrlrange).tobytes()),
@@ -325,6 +337,9 @@ class Controller:
         num_trace_elites = min(self.max_num_traces, self.optimizer_cfg.num_rollouts)
         trace_inds = jnp.asarray(self.trace_inds, dtype=jnp.int32)
         n_trace = len(self.trace_sensors)
+        need_full = bool(self.controller_cfg.full_outputs) or (
+            type(task).post_rollout is not Task.post_rollout
+        )
         mesh = self.mesh
         if mesh is not None:
             from judo_tpu.parallel.mesh import rollout_sharding
@@ -511,9 +526,13 @@ class Controller:
             mirror = jnp.concatenate(
                 [new_times.ravel(), new_nominal.ravel(), rewards.ravel(), traces.ravel()]
             )
-            outputs = SolveOutputs(
-                rewards, states, sensors, rollout_controls, candidates, traces, mirror
-            )
+            if need_full:
+                outputs = SolveOutputs(
+                    rewards, states, sensors, rollout_controls, candidates, traces, mirror
+                )
+            else:
+                # slim return: the mirror carries everything the host reads
+                outputs = SolveOutputs(rewards, None, None, None, None, None, mirror)
             return new_carry, outputs
 
         if lane_backend == "pallas":
@@ -639,6 +658,16 @@ class Controller:
             *self._device_times(),
         )
         self._pending.append((self._carry, outputs, merged_meta))
+        # start the device->host copy of the packed mirror NOW: by the time
+        # the (pipelined) consumer reads it `depth` cycles later the bytes
+        # are already host-side, so the read skips the transport's
+        # completion-notification round trip (~25 ms on the proxied TPU;
+        # measured 57.6 -> 5.2 ms/cycle on the readback microbenchmark,
+        # scratch/r5_dispatch_floor.txt)
+        try:
+            outputs.mirror.copy_to_host_async()
+        except (AttributeError, RuntimeError):  # CPU arrays / older jaxlib
+            pass
         depth = max(int(self.controller_cfg.pipeline_depth), 0)
         if depth == 0:
             while self._pending:
@@ -678,29 +707,32 @@ class Controller:
 
     def _consume(self, carry: SolverState, outputs: SolveOutputs, merged_meta: dict) -> None:
         """Sync one solve's outputs into the host-side mirrors (main thread)."""
-        self.task.post_rollout(
-            outputs.states, outputs.sensors, outputs.rollout_controls, merged_meta
-        )
+        if outputs.states is not None:
+            self.task.post_rollout(
+                outputs.states, outputs.sensors, outputs.rollout_controls, merged_meta
+            )
         self._consume_mirrors(carry, outputs)
 
     def _consume_mirrors(self, carry: SolverState, outputs: SolveOutputs) -> None:
         # ONE device->host pull of the packed mirror vector (device_get
         # itself waits for the solve, so no separate block_until_ready —
-        # every extra sync is a transport round trip)
+        # every extra sync is a transport round trip). Layout dims come from
+        # the carry (same solve), so the slim-output mode needs no big
+        # tensors on host.
         flat = np.asarray(jax.device_get(outputs.mirror))
-        n = outputs.candidate_knots.shape[1]
-        nu = outputs.candidate_knots.shape[2]  # task action dim (not model nu)
+        n = carry.times.shape[0]
+        nu = carry.nominal_knots.shape[1]  # task action dim (not model nu)
         r = outputs.rewards.shape[0]
         i0 = 0
         times = flat[i0 : i0 + n]; i0 += n
         knots = flat[i0 : i0 + n * nu].reshape(n, nu); i0 += n * nu
         rewards = flat[i0 : i0 + r]; i0 += r
-        traces = flat[i0:].reshape(outputs.traces.shape)
+        traces = flat[i0:].reshape(-1, 2, 3)
         with self._mirror_lock:
             self.last_outputs = outputs
             self.times, self.nominal_knots, self.rewards = times, knots, rewards
             self.update_spline(times, knots)
-            self.update_traces(outputs, traces)
+            self.traces = traces if traces.size else None
 
     def flush_pipeline(self) -> None:
         """Drain all in-flight solves (pipeline_depth > 0) into the mirrors."""

@@ -318,43 +318,56 @@ _KERNELS = {
 
 
 def _pair_params_batched(m: PhysicsModel, g1: np.ndarray, g2: np.ndarray):
-    """Mixed contact parameters for arrays of pairs (mj_contactParam)."""
-    g1j = jnp.asarray(g1)
-    g2j = jnp.asarray(g2)
-    p1 = jnp.asarray([m.geom_priority[g] for g in g1])
-    p2 = jnp.asarray([m.geom_priority[g] for g in g2])
+    """Mixed contact parameters for arrays of pairs (mj_contactParam).
 
-    mu_max = jnp.maximum(m.geom_friction[g1j, 0], m.geom_friction[g2j, 0])
-    s1, s2 = m.geom_solmix[g1j], m.geom_solmix[g2j]
-    w1 = s1 / jnp.maximum(s1 + s2, 1e-12)
+    Pure trace-time constant math: the model leaves are host numpy (see
+    put_model), so this runs entirely in numpy and the results embed as
+    constants."""
+    g1 = np.asarray(g1, np.int64)
+    g2 = np.asarray(g2, np.int64)
+    p1 = np.asarray([m.geom_priority[g] for g in g1])
+    p2 = np.asarray([m.geom_priority[g] for g in g2])
+    fric = np.asarray(m.geom_friction)
+    solref_g = np.asarray(m.geom_solref)
+    solimp_g = np.asarray(m.geom_solimp)
+    solmix = np.asarray(m.geom_solmix)
+    marg = np.asarray(m.geom_margin)
+    gap = np.asarray(m.geom_gap)
+
+    mu_max = np.maximum(fric[g1, 0], fric[g2, 0])
+    s1, s2 = solmix[g1], solmix[g2]
+    w1 = s1 / np.maximum(s1 + s2, 1e-12)
     w2 = 1.0 - w1
-    solref_mix = jnp.where(
-        jnp.logical_and(m.geom_solref[g1j, :1] > 0, m.geom_solref[g2j, :1] > 0),
-        w1[:, None] * m.geom_solref[g1j] + w2[:, None] * m.geom_solref[g2j],
-        jnp.minimum(m.geom_solref[g1j], m.geom_solref[g2j]),
+    solref_mix = np.where(
+        np.logical_and(solref_g[g1, :1] > 0, solref_g[g2, :1] > 0),
+        w1[:, None] * solref_g[g1] + w2[:, None] * solref_g[g2],
+        np.minimum(solref_g[g1], solref_g[g2]),
     )
-    solimp_mix = w1[:, None] * m.geom_solimp[g1j] + w2[:, None] * m.geom_solimp[g2j]
-    margin_mix = jnp.maximum(m.geom_margin[g1j], m.geom_margin[g2j]) - jnp.maximum(
-        m.geom_gap[g1j], m.geom_gap[g2j]
-    )
+    solimp_mix = w1[:, None] * solimp_g[g1] + w2[:, None] * solimp_g[g2]
+    margin_mix = np.maximum(marg[g1], marg[g2]) - np.maximum(gap[g1], gap[g2])
 
     # priority override: take everything from the higher-priority geom
     use1 = (p1 > p2)[:, None]
     use2 = (p2 > p1)[:, None]
-    eq = jnp.logical_not(use1 | use2)
-    mu = jnp.where(use1[:, 0], m.geom_friction[g1j, 0], jnp.where(use2[:, 0], m.geom_friction[g2j, 0], mu_max))
-    solref = jnp.where(use1, m.geom_solref[g1j], jnp.where(use2, m.geom_solref[g2j], solref_mix))
-    solimp = jnp.where(
-        jnp.broadcast_to(use1, solimp_mix.shape),
-        m.geom_solimp[g1j],
-        jnp.where(jnp.broadcast_to(use2, solimp_mix.shape), m.geom_solimp[g2j], solimp_mix),
+    mu = np.where(use1[:, 0], fric[g1, 0], np.where(use2[:, 0], fric[g2, 0], mu_max))
+    solref = np.where(use1, solref_g[g1], np.where(use2, solref_g[g2], solref_mix))
+    solimp = np.where(
+        np.broadcast_to(use1, solimp_mix.shape),
+        solimp_g[g1],
+        np.where(np.broadcast_to(use2, solimp_mix.shape), solimp_g[g2], solimp_mix),
     )
-    margin = jnp.where(
+    margin = np.where(
         use1[:, 0],
-        m.geom_margin[g1j] - m.geom_gap[g1j],
-        jnp.where(use2[:, 0], m.geom_margin[g2j] - m.geom_gap[g2j], margin_mix),
+        marg[g1] - gap[g1],
+        np.where(use2[:, 0], marg[g2] - gap[g2], margin_mix),
     )
-    return jnp.maximum(mu, _MINMU), solref, solimp, margin
+    dtype = np.asarray(m.qpos0).dtype
+    return (
+        np.maximum(mu, _MINMU).astype(dtype),
+        solref.astype(dtype),
+        solimp.astype(dtype),
+        margin.astype(dtype),
+    )
 
 
 def find_contacts(m: PhysicsModel, kin: Kinematics) -> Contacts:
@@ -405,10 +418,10 @@ def find_contacts(m: PhysicsModel, kin: Kinematics) -> Contacts:
         sel1, sel2 = _sel(g1), _sel(g2)
         x1 = sel1 @ kin.geom_xpos
         m1 = jnp.einsum("pg,gij->pij", sel1, kin.geom_xmat)
-        s1 = m.geom_size[jnp.asarray(g1)]
+        s1 = jnp.asarray(np.asarray(m.geom_size)[g1])
         x2 = sel2 @ kin.geom_xpos
         m2 = jnp.einsum("pg,gij->pij", sel2, kin.geom_xmat)
-        s2 = m.geom_size[jnp.asarray(g2)]
+        s2 = jnp.asarray(np.asarray(m.geom_size)[g2])
         if len(pairs) == 1:
             d, p, n = kernel(x1[0], m1[0], s1[0], x2[0], m2[0], s2[0])
             d, p, n = d[None], p[None], n[None]

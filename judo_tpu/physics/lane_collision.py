@@ -172,23 +172,26 @@ def _k_plane_cylinder(x1, m1, s1, x2, m2, s2):
 
 def _k_plane_box(x1, m1, s1, x2, m2, s2):
     n = _col(m1, 2)
-    corners, cd = [], []
-    for sx in (-1, 1):
-        for sy in (-1, 1):
-            for sz in (-1, 1):
-                c = (
-                    x2
-                    + sx * _sv(s2, 0) * _col(m2, 0)
-                    + sy * _sv(s2, 1) * _col(m2, 1)
-                    + sz * _sv(s2, 2) * _col(m2, 2)
-                )
-                corners.append(c)
-                cd.append(l_dot3(c - x1, n))
-    sel = _rank_select_l(cd, 4)  # 4 x 8 one-hot rows
+    dtype = x1.dtype
+    # the 8 corners stacked on a leading axis; the corner index k encodes the
+    # sign pattern (bit2, bit1, bit0) = (sx, sy, sz), matching the original
+    # (-1, 1)-nested loop order
+    io = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1, 1), 0)
+    sgn = [
+        ((io // 4) % 2 * 2 - 1).astype(dtype),
+        ((io // 2) % 2 * 2 - 1).astype(dtype),
+        (io % 2 * 2 - 1).astype(dtype),
+    ]
+    corners_s = x2[None] + sum(
+        sgn[i] * _sv(s2, i)[None] * _col(m2, i)[None] for i in range(3)
+    )  # (8, P, 3, B)
+    cd_s = l_dot3(corners_s - x1[None], n[None])  # (8, P, B)
+    ranks = _rank_stacked(cd_s)
     out = []
     for s in range(4):
-        d = sum(sel[s][j] * cd[j] for j in range(8))
-        p = sum(sel[s][j][..., None, :] * corners[j] for j in range(8))
+        w = (ranks == s).astype(dtype)  # (8, P, B)
+        d = usum(w * cd_s, 0)
+        p = usum(w[..., None, :] * corners_s, 0)
         out.append((d, p - 0.5 * d[..., None, :] * n, n))
     return out
 
@@ -289,22 +292,27 @@ def _k_cylinder_box(x1, m1, s1, x2, m2, s2):
     return [(_cyl_correction(d, n, axis, _s(s1, 0)), p, n) for (d, p, n) in out]
 
 
+def _rank_stacked(keys_s: jnp.ndarray) -> jnp.ndarray:
+    """Stable ranks over the leading axis: keys_s (n, ..., B) -> (n, ..., B)
+    where rank[i] = #{j : keys[j] < keys[i], index tiebreak}. The pairwise
+    comparison tensor replaces the O(n^2) loop of narrow ops."""
+    n = keys_s.shape[0]
+    dtype = keys_s.dtype
+    a = keys_s[:, None]  # (n, 1, ..., B) -> index i
+    b = keys_s[None, :]  # (1, n, ..., B) -> index j
+    io_i = jax.lax.broadcasted_iota(jnp.int32, (n, n) + (1,) * (keys_s.ndim - 1), 0)
+    io_j = jax.lax.broadcasted_iota(jnp.int32, (n, n) + (1,) * (keys_s.ndim - 1), 1)
+    beats = (b < a) | ((b == a) & (io_j < io_i))  # j beats i
+    return usum(beats.astype(dtype), 1)  # (n, ..., B)
+
+
 def _rank_select_l(keys: list, k: int) -> list:
     """Rank one-hot selection over a static list of keys: result[s][j]
     is 1.0 where keys[j] is the s-th smallest (stable, index tiebreak)."""
     n = len(keys)
     dtype = keys[0].dtype
-    ranks = []
-    for i in range(n):
-        r = jnp.zeros_like(keys[0])
-        for j in range(n):
-            if j == i:
-                continue
-            lt = keys[j] < keys[i]
-            tie = (keys[j] == keys[i]) & (j < i)
-            r = r + (lt | tie).astype(dtype)
-        ranks.append(r)
-    return [[(ranks[j] == s).astype(dtype) for j in range(n)] for s in range(k)]
+    ranks_s = _rank_stacked(jnp.stack(keys))
+    return [[(ranks_s[j] == s).astype(dtype) for j in range(n)] for s in range(k)]
 
 
 def _k_capsule_box(x1, m1, s1, x2, m2, s2):
@@ -314,74 +322,92 @@ def _k_capsule_box(x1, m1, s1, x2, m2, s2):
     axis = _col(m1, 2)
     size = _sz3(s2)  # (P, 3, 1)
     t = jnp.clip(l_dot3(x2 - x1, axis), -hl[..., 0], hl[..., 0])
-    cands = [x1 - hl * axis, x1 + hl * axis, x1 + t[..., None, :] * axis]
+    # the 3 candidate points stacked on a leading axis (see _k_box_box note)
+    cands_s = jnp.stack(
+        [x1 - hl * axis, x1 + hl * axis, x1 + t[..., None, :] * axis]
+    )  # (3, P, 3, B)
 
-    dists, pts, normals = [], [], []
-    for c in cands:
-        local = p_mat_t_vec(m2, c - x2)
-        clamped = jnp.clip(local, -size, size)
-        delta = local - clamped
-        dn = jnp.sqrt(jnp.maximum(l_dot3(delta, delta), 1e-24))
-        outside = dn > 1e-9
-        gaps = size - jnp.abs(local)
-        gmin = jnp.min(gaps, axis=-2)
-        sel = first_true_onehot([gaps[..., i, :] == gmin for i in range(3)])
-        ohax = jnp.stack([s_.astype(dtype) for s_ in sel], axis=-2)
-        n_in = jnp.sign(usum(local * ohax, -2))[..., None, :] * ohax
-        d_in = -gmin
-        n_out = delta / jnp.maximum(dn, 1e-12)[..., None, :]
-        n_local = jnp.where(outside[..., None, :], n_out, n_in)
-        d = jnp.where(outside, dn, d_in) - r
-        n = -p_mat_vec(m2, n_local)
-        surf_local = jnp.where(outside[..., None, :], clamped, local - d_in[..., None, :] * n_in)
-        surf = x2 + p_mat_vec(m2, surf_local)
-        dists.append(d)
-        pts.append(surf + 0.5 * d[..., None, :] * n)
-        normals.append(n)
+    local = p_mat_t_vec(m2[None], cands_s - x2[None])  # (3, P, 3, B)
+    clamped = jnp.clip(local, -size, size)
+    delta = local - clamped
+    dn = jnp.sqrt(jnp.maximum(l_dot3(delta, delta), 1e-24))
+    outside = dn > 1e-9
+    gaps = size - jnp.abs(local)
+    gmin = jnp.min(gaps, axis=-2)
+    sel = first_true_onehot([gaps[..., i, :] == gmin for i in range(3)])
+    ohax = jnp.stack([s_.astype(dtype) for s_ in sel], axis=-2)
+    n_in = jnp.sign(usum(local * ohax, -2))[..., None, :] * ohax
+    d_in = -gmin
+    n_out = delta / jnp.maximum(dn, 1e-12)[..., None, :]
+    n_local = jnp.where(outside[..., None, :], n_out, n_in)
+    dists_s = jnp.where(outside, dn, d_in) - r  # (3, P, B)
+    normals_s = -p_mat_vec(m2[None], n_local)
+    surf_local = jnp.where(outside[..., None, :], clamped, local - d_in[..., None, :] * n_in)
+    surf = x2[None] + p_mat_vec(m2[None], surf_local)
+    pts_s = surf + 0.5 * dists_s[..., None, :] * normals_s
 
-    sel = _rank_select_l(dists, 2)
+    ranks = _rank_stacked(dists_s)
     out = []
     for s in range(2):
-        d = sum(sel[s][j] * dists[j] for j in range(3))
-        p = sum(sel[s][j][..., None, :] * pts[j] for j in range(3))
-        n = sum(sel[s][j][..., None, :] * normals[j] for j in range(3))
+        w = (ranks == s).astype(dtype)  # (3, P, B)
+        d = usum(w * dists_s, 0)
+        p = usum(w[..., None, :] * pts_s, 0)
+        n = usum(w[..., None, :] * normals_s, 0)
         out.append((d, p, n))
     return out
 
 
 def _k_box_box(x1, m1, s1, x2, m2, s2):
-    """4-slot box-box SAT manifold (port of box_collision.box_box), stacked."""
+    """4-slot box-box SAT manifold (port of box_collision.box_box), stacked.
+
+    The 15 SAT axes are evaluated as ONE set of ops on a (15, P, 3, B)
+    leading-axis stack (second-level stacking): the per-axis loop of narrow
+    ops dominated the narrowphase cost (measured ~half the whole leap step,
+    scratch/r5_ab_stages.py)."""
     dtype = x1.dtype
     d_vec = x2 - x1
     size1 = [_s(s1, i) for i in range(3)]  # (P, 1) each
     size2 = [_s(s2, i) for i in range(3)]
 
-    axes = [(_col(m1, i)) for i in range(3)] + [(_col(m2, j)) for j in range(3)]
-    for i in range(3):
-        for j in range(3):
-            axes.append(l_cross(_col(m1, i), _col(m2, j)))
+    cols1 = jnp.stack([_col(m1, i) for i in range(3)])  # (3, P, 3, B)
+    cols2 = jnp.stack([_col(m2, j) for j in range(3)])
+    cr = l_cross(cols1[:, None], cols2[None])  # (3, 3, P, 3, B)
+    axes_s = jnp.concatenate([cols1, cols2, cr.reshape(9, *cr.shape[2:])], axis=0)  # (15,P,3,B)
 
-    seps, valids, axes_n = [], [], []
-    for a in axes:
-        nrm = jnp.sqrt(jnp.maximum(l_dot3(a, a), 1e-24))
-        an = a / jnp.maximum(nrm, 1e-12)[..., None, :]
-        p1 = sum(size1[i] * jnp.abs(l_dot3(an, _col(m1, i))) for i in range(3))
-        p2 = sum(size2[j] * jnp.abs(l_dot3(an, _col(m2, j))) for j in range(3))
-        seps.append(jnp.abs(l_dot3(an, d_vec)) - p1 - p2)
-        valids.append(nrm > 1e-6)
-        axes_n.append(an)
+    # separations on UNNORMALIZED axes, scaled once by rsqrt(|a|^2): avoids
+    # normalizing the whole (15, P, 3, B) axis tensor (a division + sqrt on
+    # the biggest intermediate) — only the final (15, P, B) scalars scale
+    d2 = l_dot3(axes_s, axes_s)  # (15, P, B)
+    inv_nrm = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
+    an_s = axes_s * inv_nrm[..., None, :]  # still needed for the winner blend
+    p1 = sum(size1[i] * jnp.abs(l_dot3(axes_s, cols1[i][None])) for i in range(3))
+    p2 = sum(size2[j] * jnp.abs(l_dot3(axes_s, cols2[j][None])) for j in range(3))
+    seps_s = (jnp.abs(l_dot3(axes_s, d_vec[None])) - p1 - p2) * inv_nrm  # (15, P, B)
+    valids_s = d2 > 1e-12
 
     neg_inf = jnp.asarray(-_BIG, dtype)
-    scores = [jnp.where(valids[i], seps[i] + (1e-6 if i >= 6 else 0.0), neg_inf) for i in range(15)]
-    smax = scores[0]
-    for sc in scores[1:]:
-        smax = jnp.maximum(smax, sc)
-    oh = first_true_onehot([scores[i] == smax for i in range(15)])
-    dist = seps[0] * 0 + neg_inf
-    for i in range(15):
-        dist = jnp.maximum(dist, jnp.where(valids[i], seps[i], neg_inf))
+    # cross axes (index >= 6) get the +1e-6 face-preference bias
+    io15 = jax.lax.broadcasted_iota(jnp.int32, (15, 1, 1), 0)
+    bias = (io15 >= 6).astype(dtype) * 1e-6
+    scores_s = jnp.where(valids_s, seps_s + bias, neg_inf)
 
-    axis = sum(oh[i].astype(dtype)[..., None, :] * axes_n[i] for i in range(15))
+    def _tree_max(x):  # max over the static leading axis, balanced tree
+        terms = [x[k] for k in range(x.shape[0])]
+        while len(terms) > 1:
+            nxt = [jnp.maximum(terms[i], terms[i + 1]) for i in range(0, len(terms) - 1, 2)]
+            if len(terms) % 2:
+                nxt.append(terms[-1])
+            terms = nxt
+        return terms[0]
+
+    dist = _tree_max(jnp.where(valids_s, seps_s, neg_inf))
+    # argmax with first-index tiebreak as a rank-0 one-hot: the pairwise-rank
+    # form is log-depth, vs a 15-step serial first-true chain (the kernel is
+    # bound by dependent-op latency — see pallas_step's multi-chain note)
+    ranks = _rank_stacked(-scores_s)  # rank 0 = largest score, earliest index
+    oh_s = (ranks == 0).astype(dtype)  # (15, P, B)
+    oh = [oh_s[i] > 0.5 for i in range(15)]
+    axis = usum(oh_s[..., None, :] * an_s, 0)  # (P, 3, B)
     sign = jnp.where(l_dot3(axis, d_vec) >= 0, 1.0, -1.0).astype(dtype)
     normal = sign[..., None, :] * axis
 

@@ -186,7 +186,7 @@ def make_state(model: PhysicsModel, qpos=None, qvel=None, time=0.0) -> PhysicsSt
     """Fresh state at the model's reference pose."""
     dtype = model.qpos0.dtype
     return PhysicsState(
-        qpos=jnp.asarray(qpos, dtype=dtype) if qpos is not None else model.qpos0,
+        qpos=jnp.asarray(qpos if qpos is not None else model.qpos0, dtype=dtype),
         qvel=jnp.asarray(qvel, dtype=dtype) if qvel is not None else jnp.zeros(model.nv, dtype=dtype),
         time=jnp.asarray(time, dtype=dtype),
     )
@@ -248,7 +248,17 @@ def put_model(
     influence the plan (e.g. robot self-collision) to cut the static contact
     budget.
     """
-    a = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)  # noqa: E731
+    # HOST-side numpy leaves, not device arrays. Every model constant is
+    # consumed at TRACE time (baked into the jitted step/kernel as an HLO
+    # constant), so device residency buys nothing — and costs twice on a
+    # proxied TPU transport: each trace-time device_get is a d2h round trip,
+    # and the first d2h flips the axon client into a degraded per-call
+    # dispatch mode for the rest of the process (measured ~10-100x per-call
+    # overhead; scratch/r5_dispatch_floor.txt / r5_bisect*.py). numpy leaves
+    # also embed as constants instead of captured device buffers, shrinking
+    # the executable's implicit per-call argument list.
+    np_dtype = np.dtype(dtype)
+    a = lambda x: np.asarray(np.asarray(x), dtype=np_dtype)  # noqa: E731
 
     nv = m.nv
     # dof ancestry mask from dof_parentid chains
@@ -395,8 +405,8 @@ def put_model(
         actuator_biasprm=a(m.actuator_biasprm),
         actuator_ctrlrange=a(m.actuator_ctrlrange),
         actuator_forcerange=a(m.actuator_forcerange),
-        actuator_ctrllimited=jnp.asarray(np.asarray(m.actuator_ctrllimited, dtype=bool)),
-        actuator_forcelimited=jnp.asarray(np.asarray(m.actuator_forcelimited, dtype=bool)),
+        actuator_ctrllimited=np.asarray(m.actuator_ctrllimited, dtype=bool),
+        actuator_forcelimited=np.asarray(m.actuator_forcelimited, dtype=bool),
         dof_ancestor_mask=a(mask),
         body_dof_mask=a(body_dof),
         subtree_mask=a(subtree),

@@ -33,11 +33,11 @@ LANE_TILE = 128
 def pick_lane_tile(B: int, cap: int = 128) -> int:
     """Batch-tile (multiple of 128, <= cap) dividing B.
 
-    Measured (scratch/r4_stage2_t*.txt): a 384-lane tile is SLOWER than
-    3 sequential 128-lane grid steps (878 vs 735 us/step on the full leap
-    step) — Mosaic issues one instruction per 128-lane vreg either way, so
-    wider tiles don't amortize the step's serial-chain latency, they just
-    raise VMEM pressure. Keep 128.
+    128 stays optimal (re-measured r5, scratch/r5_ab2.py): a 384-lane tile
+    is ~9% slower than three 128-lane tiles advancing as independent SSA
+    chains in one kernel body (_build_fused_rollout) — the step is bound by
+    dependent-op latency, which wider ops do not shorten, while separate
+    chains interleave through the VPU pipeline.
     """
     for t in range(cap, 0, -LANE_TILE):
         if B % t == 0:
@@ -169,14 +169,15 @@ def _build_fused_rollout(
 ):
     """The WHOLE rollout as one ``pallas_call``.
 
-    Grid = (batch_tiles, T) with T innermost: for each 128-lane batch tile the
-    kernel body (one physics step x substeps) runs T sequential grid steps,
-    carrying (qpos, qvel, efc warm-start) in VMEM scratch between them.
-    Controls stream in per-step blocks from HBM; per-step states/sensors
-    stream out. Versus scan(pallas_call) this removes the per-step kernel
-    launch + HBM carry round-trip entirely — measured ~60% of rollout wall
-    time at leap_cube sizes (VERDICT r3; scratch/r4_prof.py) — and XLA sees a
-    single opaque op for the whole rollout, which also slashes compile time.
+    Grid = (T,): each grid step advances ALL batch tiles one physics step
+    (x substeps), with every 128-lane tile carried as its own independent
+    SSA chain through per-tile VMEM scratch (see the in-kernel note on
+    dependent-op latency). Controls stream in per-step blocks from HBM;
+    per-step states/sensors stream out. Versus scan(pallas_call) this
+    removes the per-step kernel launch + HBM carry round-trip entirely —
+    measured ~60% of rollout wall time at leap_cube sizes (VERDICT r3;
+    scratch/r4_prof.py) — and XLA sees a single opaque op for the whole
+    rollout, which also slashes compile time.
 
     Replaces: the reference's per-candidate rollout thread loop
     (judo/utils/mj_rollout_backend.py:84, system_class.cpp:272-331).
@@ -190,38 +191,56 @@ def _build_fused_rollout(
     nu_ = max(nu, 1)
     ns_ = max(ns, 1)
 
-    def kernel(qpos_ref, qvel_ref, ctrl_ref, oq_ref, ov_ref, os_ref, qp_s, qv_s, f_s, v_s):
-        t = pl.program_id(1)
+    def make_kernel(n_chains: int, tile: int):
+        def kernel(qpos_ref, qvel_ref, ctrl_ref, oq_ref, ov_ref, os_ref, *scratch):
+            # per-chain scratch: [qp, qv, f, v] x n_chains
+            t = pl.program_id(0)
 
-        @pl.when(t == 0)
-        def _init():  # new batch tile: load the initial state, cold warm-start
-            qp_s[:] = qpos_ref[:]
-            qv_s[:] = qvel_ref[:]
-            f_s[:] = jnp.zeros_like(f_s)
-            v_s[:] = jnp.ones_like(v_s)  # CW probe: any positive start is valid
+            @pl.when(t == 0)
+            def _init():  # load initial states, cold warm-starts
+                for c in range(n_chains):
+                    qp_s, qv_s, f_s, v_s = scratch[4 * c : 4 * c + 4]
+                    lo = c * tile
+                    qp_s[:] = qpos_ref[:, lo : lo + tile]
+                    qv_s[:] = qvel_ref[:, lo : lo + tile]
+                    f_s[:] = jnp.zeros_like(f_s)
+                    v_s[:] = jnp.ones_like(v_s)  # CW probe: any positive start
 
-        qp, qv, f, v = qp_s[:], qv_s[:], f_s[:], v_s[:]
-        ctrl = ctrl_ref[0]
-        sens = None
-        for _ in range(substeps):
-            out = step_l(
-                m, qp, qv, ctrl,
-                f if nefc else None,
-                solver_iterations=iterations,
-                lipschitz=lipschitz,
-                cw_v=v if nefc else None,
-                in_pallas=not interpret,
-            )
-            qp, qv, sens = out.qpos, out.qvel, out.sensordata
-            f = out.efc_force if nefc else f
-            v = out.cw_v if nefc else v
-        qp_s[:] = qp
-        qv_s[:] = qv
-        f_s[:] = f
-        v_s[:] = v
-        oq_ref[0] = qp
-        ov_ref[0] = qv
-        os_ref[0] = sens if ns else jnp.zeros_like(os_ref[0])
+            # the n_chains batch tiles advance as INDEPENDENT SSA chains in
+            # one kernel body: the VPU dependent-op latency (~0.7 us through
+            # Mosaic) is the binding constraint on this step, and independent
+            # chains interleave through the pipeline (measured 1.4x on the
+            # dependency-chain microbenchmark, scratch/r5_*; a lane-wider
+            # tile does NOT achieve this — the chain length is unchanged)
+            for c in range(n_chains):
+                qp_s, qv_s, f_s, v_s = scratch[4 * c : 4 * c + 4]
+                lo = c * tile
+                qp, qv, f, v = qp_s[:], qv_s[:], f_s[:], v_s[:]
+                ctrl = ctrl_ref[0, :, lo : lo + tile]
+                sens = None
+                for _ in range(substeps):
+                    out = step_l(
+                        m, qp, qv, ctrl,
+                        f if nefc else None,
+                        solver_iterations=iterations,
+                        lipschitz=lipschitz,
+                        cw_v=v if nefc else None,
+                        in_pallas=not interpret,
+                    )
+                    qp, qv, sens = out.qpos, out.qvel, out.sensordata
+                    f = out.efc_force if nefc else f
+                    v = out.cw_v if nefc else v
+                qp_s[:] = qp
+                qv_s[:] = qv
+                f_s[:] = f
+                v_s[:] = v
+                oq_ref[0, :, lo : lo + tile] = qp
+                ov_ref[0, :, lo : lo + tile] = qv
+                os_ref[0, :, lo : lo + tile] = (
+                    sens if ns else jnp.zeros((ns_, tile), qp.dtype)
+                )
+
+        return kernel
 
     def rollout_fn(qpos, qvel, ctrl):
         """(nq, B), (nv, B), (T, nu_, B) -> ((T, nq, B), (T, nv, B), (T, ns_, B))."""
@@ -229,16 +248,17 @@ def _build_fused_rollout(
         assert B % LANE_TILE == 0, f"lane batch {B} must be a multiple of {LANE_TILE}"
         dtype = qpos.dtype
         tile = pick_lane_tile(B)
-        grid = (B // tile, T)
+        n_chains = B // tile
+        grid = (T,)
         in_specs = [
-            pl.BlockSpec((nq, tile), lambda i, t: (0, i)),
-            pl.BlockSpec((nv, tile), lambda i, t: (0, i)),
-            pl.BlockSpec((1, nu_, tile), lambda i, t: (t, 0, i)),
+            pl.BlockSpec((nq, B), lambda t: (0, 0)),
+            pl.BlockSpec((nv, B), lambda t: (0, 0)),
+            pl.BlockSpec((1, nu_, B), lambda t: (t, 0, 0)),
         ]
         out_specs = (
-            pl.BlockSpec((1, nq, tile), lambda i, t: (t, 0, i)),
-            pl.BlockSpec((1, nv, tile), lambda i, t: (t, 0, i)),
-            pl.BlockSpec((1, ns_, tile), lambda i, t: (t, 0, i)),
+            pl.BlockSpec((1, nq, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, nv, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, ns_, B), lambda t: (t, 0, 0)),
         )
         out_shape = (
             jax.ShapeDtypeStruct((T, nq, B), dtype),
@@ -246,13 +266,17 @@ def _build_fused_rollout(
             jax.ShapeDtypeStruct((T, ns_, B), dtype),
         )
         scratch_shapes = [
-            pltpu.VMEM((nq, tile), dtype),
-            pltpu.VMEM((nv, tile), dtype),
-            pltpu.VMEM((nefc_, tile), dtype),
-            pltpu.VMEM((nefc_, tile), dtype),  # carried CW probe vector
+            s
+            for _ in range(n_chains)
+            for s in (
+                pltpu.VMEM((nq, tile), dtype),
+                pltpu.VMEM((nv, tile), dtype),
+                pltpu.VMEM((nefc_, tile), dtype),
+                pltpu.VMEM((nefc_, tile), dtype),  # carried CW probe vector
+            )
         ]
         return pl.pallas_call(
-            kernel,
+            make_kernel(n_chains, tile),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -261,10 +285,7 @@ def _build_fused_rollout(
             interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 # T-carry in scratch requires sequential grid traversal
-                dimension_semantics=(
-                    pltpu.GridDimensionSemantics.ARBITRARY,
-                    pltpu.GridDimensionSemantics.ARBITRARY,
-                ),
+                dimension_semantics=(pltpu.GridDimensionSemantics.ARBITRARY,),
                 # contact-rich step live set peaks ~27 MB/tile (v5e VMEM: 128)
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),

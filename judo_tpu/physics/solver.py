@@ -155,11 +155,13 @@ def assemble_constraints(
     jids, dofs, sides = _limit_meta(m)
     if len(jids):
         nl = len(jids)
+        jids_np = np.asarray(jids, np.int64)
         jids_a = jnp.asarray(jids)
         sides_a = jnp.asarray(sides, dtype)
-        lo = m.jnt_range[jids_a, 0]
-        hi = m.jnt_range[jids_a, 1]
-        margin = m.jnt_margin[jids_a]
+        jr = np.asarray(m.jnt_range)
+        lo = jnp.asarray(jr[jids_np, 0])
+        hi = jnp.asarray(jr[jids_np, 1])
+        margin = jnp.asarray(np.asarray(m.jnt_margin)[jids_np])
         # qpos/qvel reads as constant one-hot matmuls; J is fully constant
         sel_q = np.zeros((nl, m.nq))
         sel_v = np.zeros((nl, m.nv))
@@ -169,8 +171,8 @@ def assemble_constraints(
         q = jnp.asarray(sel_q, dtype) @ qpos
         dist = jnp.where(sides_a > 0, q - lo, hi - q)
         pos = dist - margin
-        imp = impedance(m.jnt_solimp[jids_a], pos)
-        k, b = kb_from_solref(m.jnt_solref[jids_a], m.jnt_solimp[jids_a], m.timestep)
+        imp = impedance(jnp.asarray(np.asarray(m.jnt_solimp)[jids_np]), pos)
+        k, b = kb_from_solref(jnp.asarray(np.asarray(m.jnt_solref)[jids_np]), jnp.asarray(np.asarray(m.jnt_solimp)[jids_np]), m.timestep)
         J = jnp.asarray(sel_v, dtype)  # (nl, nv) constant
         vel = J @ qvel
         blocks_J.append(J)
@@ -204,8 +206,8 @@ def assemble_constraints(
         lin1 = cdof_lin[None] + jnp.cross(cdof_ang[None], arm1[:, None, :])
         lin2 = cdof_lin[None] + jnp.cross(cdof_ang[None], arm2[:, None, :])
         # constant masks (body_dof_mask is a model constant, b1/b2 static)
-        mask1 = m.body_dof_mask[jnp.asarray(b1)][:, :, None]  # (C, nv, 1)
-        mask2 = m.body_dof_mask[jnp.asarray(b2)][:, :, None]
+        mask1 = jnp.asarray(np.asarray(m.body_dof_mask)[np.asarray(b1)])[:, :, None]  # (C, nv, 1)
+        mask2 = jnp.asarray(np.asarray(m.body_dof_mask)[np.asarray(b2)])[:, :, None]
         jac = mask2 * lin2 - mask1 * lin1  # (C, nv, 3)
 
         # frame rows: (C, 3, nv) = frame (C,3,3) @ jac^T
@@ -215,7 +217,8 @@ def assemble_constraints(
         pos = contacts.dist - contacts.includemargin  # (C,)
         imp = impedance(contacts.solimp, pos)
         k, b = kb_from_solref(contacts.solref, contacts.solimp, m.timestep)
-        inv_w = m.body_invweight0[jnp.asarray(b1), 0] + m.body_invweight0[jnp.asarray(b2), 0]
+        _biw = np.asarray(m.body_invweight0)
+        inv_w = jnp.asarray(_biw[np.asarray(b1), 0] + _biw[np.asarray(b2), 0])
         mu = contacts.friction[:, None]  # (C, 1)
         mu_s = contacts.friction
         active1 = (contacts.dist < contacts.includemargin).astype(dtype)

@@ -36,6 +36,15 @@ from judo_tpu.tasks.spot import spot_constants as sc
 from judo_tpu.tasks.spot.policy import SpotPolicy
 from judo_tpu.utils.onnx_loader import _ACTIVATIONS
 
+# Mosaic-safe activations: jax.nn.elu lowers via expm1, which Pallas TPU
+# does not implement — use the plain exp form inside kernels (identical to
+# float rounding at ELU's scale)
+_PALLAS_ACTIVATIONS = {
+    "Elu": lambda x: jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0),
+    "Relu": lambda x: jnp.maximum(x, 0.0),
+    "Tanh": jnp.tanh,
+}
+
 
 class SpotPolicyLanes(NamedTuple):
     """Lanes-side policy parameters.
@@ -73,7 +82,7 @@ def mlp_aug_l(lp: SpotPolicyLanes, x: jnp.ndarray) -> jnp.ndarray:
         xa = jnp.concatenate([x, jnp.ones((1, B), x.dtype)], axis=0)
         x = jnp.dot(wa.astype(x.dtype), xa, preferred_element_type=x.dtype)
         if act:
-            x = _ACTIVATIONS[act](x)
+            x = _PALLAS_ACTIVATIONS.get(act, _ACTIVATIONS[act])(x)
     return x
 
 

@@ -42,6 +42,7 @@ def test_controller_node_mesh_shards_batch():
     ndev = len(jax.devices())
     # num_rollouts must divide over the mesh; the stock override is 32 on 8
     assert node.controller.optimizer_cfg.num_rollouts % ndev == 0
+    node.controller.controller_cfg.full_outputs = True  # inspect states sharding
     sim.step_once()
     node.step_once()
     out = node.controller.last_outputs

@@ -72,6 +72,7 @@ def test_candidate_clamping_in_normalized_space():
     np.random.seed(0)
     c = make_controller("cartpole", "ps")
     c.controller_cfg.action_normalizer = "min_max"
+    c.controller_cfg.full_outputs = True  # test inspects candidate_knots
     c.optimizer_cfg.sigma = 50.0  # force samples way out of range
     c.update_action()
     cand = np.asarray(c.last_outputs.candidate_knots)

@@ -43,7 +43,7 @@ def _make_tracking_controller(max_opt_iters: int, seed: int) -> Controller:
     task = Cartpole()
     cfg = PredictiveSamplingConfig(num_rollouts=8, num_nodes=4)
     opt = TrackingPS(cfg, task.nu)
-    cc = ControllerConfig(max_opt_iters=max_opt_iters, spline_order="zero")
+    cc = ControllerConfig(max_opt_iters=max_opt_iters, spline_order="zero", full_outputs=True)
     ctrl = Controller(cc, task, opt)
     # deterministic solver rng
     ctrl._carry = ctrl._carry.replace(rng=jax.random.key(seed))
@@ -77,6 +77,7 @@ def test_update_action_shape_contract(opt_name):
     (reference test_controller.py:80-112)."""
     np.random.seed(0)
     c = make_controller("cartpole", opt_name)
+    c.controller_cfg.full_outputs = True  # contract test inspects the tensors
     c.update_action()
     R = c.optimizer_cfg.num_rollouts
     N = c.optimizer_cfg.num_nodes

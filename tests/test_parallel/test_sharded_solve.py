@@ -35,7 +35,7 @@ def _make_controller(task_name: str, mesh, num_rollouts: int = 8, horizon: float
     task_cls, _ = get_registered_tasks()[task_name]
     task = task_cls()
     opt = MPPI(MPPIConfig(num_rollouts=num_rollouts, num_nodes=4, sigma=0.2), task.nu)
-    cc = ControllerConfig(horizon=horizon, spline_order="zero")
+    cc = ControllerConfig(horizon=horizon, spline_order="zero", full_outputs=True)
     return Controller(cc, task, opt, mesh=mesh)
 
 
@@ -87,7 +87,7 @@ def test_sharded_lanes_backend_matches_unsharded():
         task_cls, _ = get_registered_tasks()["cylinder_push"]
         task = task_cls()
         opt = MPPI(MPPIConfig(num_rollouts=16, num_nodes=4, sigma=0.2), task.nu)
-        cc = ControllerConfig(horizon=0.1, spline_order="zero")
+        cc = ControllerConfig(horizon=0.1, spline_order="zero", full_outputs=True)
         c = Controller(cc, task, opt, rollout_backend="lanes_xla", mesh=mesh_)
         c.update_action()
         return c

@@ -101,18 +101,20 @@ def test_policy_rollout_lanes_tracks_vmap(spot):
 def test_policy_rollout_lanes_interpret_matches_xla(spot):
     """The Pallas kernel plumbing (interpret mode) computes the same thing as
     the plain-jit lanes path — validates the fused policy kernel's BlockSpecs,
-    weight inputs, and VMEM carries without TPU hardware."""
+    weight inputs, and VMEM carries without TPU hardware. Smallest possible
+    shape: interpret mode pays the full 128-lane tile per step and the spot
+    model's 282 constraint rows make each step minutes-slow on CPU."""
     task, pm, pol = spot
-    R, T = 2, 2
+    R, T = 1, 2  # T=2: the pout VMEM carry needs a second step to be tested
     rng = np.random.default_rng(0)
     qp0 = jnp.asarray(np.tile(task.data.qpos, (R, 1)), jnp.float32)
     qv0 = jnp.zeros((R, pm.nv), jnp.float32)
     pout0 = jnp.zeros((R, 12), jnp.float32)
     cmds = jnp.asarray(0.1 * rng.standard_normal((R, T, 25)), jnp.float32)
 
-    out_x = policy_rollout_lanes(pm, pol, qp0, qv0, cmds, pout0, physics_substeps=2, backend="xla")
+    out_x = policy_rollout_lanes(pm, pol, qp0, qv0, cmds, pout0, physics_substeps=1, backend="xla")
     out_i = policy_rollout_lanes(
-        pm, pol, qp0, qv0, cmds, pout0, physics_substeps=2, backend="interpret"
+        pm, pol, qp0, qv0, cmds, pout0, physics_substeps=1, backend="interpret"
     )
     np.testing.assert_allclose(
         np.asarray(out_i.states), np.asarray(out_x.states), rtol=1e-4, atol=1e-4
