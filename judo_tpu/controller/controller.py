@@ -82,6 +82,11 @@ class SolverState:
     # locomotion-policy tasks carry the last policy output per rollout
     # (reference: controller.py:86-88, _last_policy_output); () otherwise
     last_policy_output: Any = ()
+    # lanes backends carry the previous solve's step-0 constraint forces per
+    # rollout (R, nefc): warm-starts contact ONSET (the plant moved one
+    # control cycle) — the TPU analogue of mjData's efc warm-start
+    # persisting across the reference's per-thread rollouts; () otherwise
+    efc_warm: Any = ()
 
 
 class SolveOutputs(NamedTuple):
@@ -441,6 +446,7 @@ class Controller:
                         states, sensors, new_policy_output = policy_lanes_rollout(
                             qp0, qv0, sim_controls, carry.last_policy_output
                         )
+                    new_efc_warm = carry.efc_warm
                 elif uses_policy:
                     from judo_tpu.tasks.spot.policy import policy_rollout
 
@@ -450,6 +456,7 @@ class Controller:
                     )(sim_controls, pout)
                     states, sensors = out.states, out.sensordata
                     new_policy_output = out.final_policy_output
+                    new_efc_warm = carry.efc_warm
                 elif lane_backend is not None:
                     from judo_tpu.physics.pallas_step import rollout_lanes
 
@@ -457,13 +464,13 @@ class Controller:
                     qp0 = jnp.broadcast_to(x0.qpos, (R_, pm.nq))
                     qv0 = jnp.broadcast_to(x0.qvel, (R_, pm.nv))
 
-                    def lanes_rollout(qp, qv, ct):
+                    def lanes_rollout(qp, qv, ct, fw):
                         out = rollout_lanes(
                             pm, qp, qv, ct,
                             physics_substeps=substeps, backend=lane_backend,
-                            iterations=solver_iters,
+                            iterations=solver_iters, efc_warm=fw,
                         )
-                        return out.states, out.sensordata
+                        return out.states, out.sensordata, out.efc0
 
                     if mesh is not None and mesh.devices.size > 1:
                         # candidate batch sharded over the mesh; each device
@@ -481,23 +488,26 @@ class Controller:
                             f"{ndev}-device mesh for the lanes backend"
                         )
                         bspec = P(tuple(mesh.axis_names))
-                        states, sensors = jax.shard_map(
+                        states, sensors, new_efc_warm = jax.shard_map(
                             lanes_rollout,
                             mesh=mesh,
-                            in_specs=(bspec, bspec, bspec),
-                            out_specs=(bspec, bspec),
+                            in_specs=(bspec, bspec, bspec, bspec),
+                            out_specs=(bspec, bspec, bspec),
                             # no collectives inside; skip the varying-axes
                             # check (the scan's zero-init efc carry is
                             # device-invariant by construction)
                             check_vma=False,
-                        )(qp0, qv0, sim_controls)
+                        )(qp0, qv0, sim_controls, carry.efc_warm)
                     else:
-                        states, sensors = lanes_rollout(qp0, qv0, sim_controls)
+                        states, sensors, new_efc_warm = lanes_rollout(
+                            qp0, qv0, sim_controls, carry.efc_warm
+                        )
                     new_policy_output = carry.last_policy_output
                 else:
                     out = jax.vmap(lambda c: rollout(pm, x0, c, physics_substeps=substeps))(sim_controls)
                     states, sensors = out.states, out.sensordata
                     new_policy_output = carry.last_policy_output
+                    new_efc_warm = carry.efc_warm
 
                 rewards = task.reward(states, sensors, rollout_controls, task_params, metadata)
                 nominal_n, opt_state = optimizer.update(opt_params, opt_state, cand_n, rewards)
@@ -522,6 +532,7 @@ class Controller:
                 norm_state=norm_state,
                 rng=rng,
                 last_policy_output=new_policy_output,
+                efc_warm=new_efc_warm,
             )
             mirror = jnp.concatenate(
                 [new_times.ravel(), new_nominal.ravel(), rewards.ravel(), traces.ravel()]
@@ -805,14 +816,33 @@ class Controller:
                 if self.task.uses_locomotion_policy
                 else ()
             ),
+            efc_warm=self._init_efc_warm(),
         )
         self.times = np.asarray(times0)
         self.nominal_knots = warm
         self.current_state = np.concatenate([self.task.data.qpos, self.task.data.qvel])
         self.update_spline(self.times, self.nominal_knots)
 
+    def _init_efc_warm(self):
+        """(R, nefc) zeros for lanes backends (cross-solve onset warm start);
+        () elsewhere (the vmap path manages warm starts per step)."""
+        if self.task.uses_locomotion_policy:
+            return ()
+        if not self._resolve_rollout_backend().startswith("lanes"):
+            return ()
+        from judo_tpu.physics.solver import num_constraint_rows
+
+        nefc = num_constraint_rows(self.pm)
+        return jnp.zeros((self.optimizer_cfg.num_rollouts, max(nefc, 1)), self.dtype)
+
     def _sync_state_shapes(self) -> None:
         """Re-shape carried state when GUI knobs changed node counts etc."""
+        ew = self._init_efc_warm()
+        cur = self._carry.efc_warm
+        if isinstance(ew, tuple) != isinstance(cur, tuple) or (
+            not isinstance(ew, tuple) and ew.shape != cur.shape
+        ):
+            self._carry = self._carry.replace(efc_warm=ew)
         if self.task.uses_locomotion_policy:
             r = self.optimizer_cfg.num_rollouts
             pout = self._carry.last_policy_output

@@ -192,18 +192,23 @@ def _build_fused_rollout(
     ns_ = max(ns, 1)
 
     def make_kernel(n_chains: int, tile: int):
-        def kernel(qpos_ref, qvel_ref, ctrl_ref, oq_ref, ov_ref, os_ref, *scratch):
+        def kernel(qpos_ref, qvel_ref, ctrl_ref, f0_ref, oq_ref, ov_ref, os_ref, of0_ref, *scratch):
             # per-chain scratch: [qp, qv, f, v] x n_chains
             t = pl.program_id(0)
 
             @pl.when(t == 0)
-            def _init():  # load initial states, cold warm-starts
+            def _init():  # load initial states + onset warm-starts
                 for c in range(n_chains):
                     qp_s, qv_s, f_s, v_s = scratch[4 * c : 4 * c + 4]
                     lo = c * tile
                     qp_s[:] = qpos_ref[:, lo : lo + tile]
                     qv_s[:] = qvel_ref[:, lo : lo + tile]
-                    f_s[:] = jnp.zeros_like(f_s)
+                    # onset warm start: the caller-carried step-0 forces of
+                    # the PREVIOUS solve (the plant state one control cycle
+                    # ago) — the TPU analogue of mjData's efc warm-start
+                    # persisting across the reference's per-thread rollouts.
+                    # Zeros (cold) when no carry exists.
+                    f_s[:] = f0_ref[:, lo : lo + tile]
                     v_s[:] = jnp.ones_like(v_s)  # CW probe: any positive start
 
             # the n_chains batch tiles advance as INDEPENDENT SSA chains in
@@ -240,10 +245,15 @@ def _build_fused_rollout(
                     sens if ns else jnp.zeros((ns_, tile), qp.dtype)
                 )
 
+                @pl.when(t == 0)
+                def _save_onset():  # step-0 forces -> next solve's warm start
+                    of0_ref[:, lo : lo + tile] = f if nefc else jnp.zeros((1, tile), qp.dtype)
+
         return kernel
 
-    def rollout_fn(qpos, qvel, ctrl):
-        """(nq, B), (nv, B), (T, nu_, B) -> ((T, nq, B), (T, nv, B), (T, ns_, B))."""
+    def rollout_fn(qpos, qvel, ctrl, f0):
+        """(nq, B), (nv, B), (T, nu_, B), (nefc_, B) ->
+        ((T, nq, B), (T, nv, B), (T, ns_, B), (nefc_, B))."""
         B = qpos.shape[-1]
         assert B % LANE_TILE == 0, f"lane batch {B} must be a multiple of {LANE_TILE}"
         dtype = qpos.dtype
@@ -254,16 +264,19 @@ def _build_fused_rollout(
             pl.BlockSpec((nq, B), lambda t: (0, 0)),
             pl.BlockSpec((nv, B), lambda t: (0, 0)),
             pl.BlockSpec((1, nu_, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec((nefc_, B), lambda t: (0, 0)),
         ]
         out_specs = (
             pl.BlockSpec((1, nq, B), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, nv, B), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, ns_, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec((nefc_, B), lambda t: (0, 0)),
         )
         out_shape = (
             jax.ShapeDtypeStruct((T, nq, B), dtype),
             jax.ShapeDtypeStruct((T, nv, B), dtype),
             jax.ShapeDtypeStruct((T, ns_, B), dtype),
+            jax.ShapeDtypeStruct((nefc_, B), dtype),
         )
         scratch_shapes = [
             s
@@ -289,7 +302,7 @@ def _build_fused_rollout(
                 # contact-rich step live set peaks ~27 MB/tile (v5e VMEM: 128)
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
-        )(qpos, qvel, ctrl)
+        )(qpos, qvel, ctrl, f0)
 
     return rollout_fn
 
@@ -503,6 +516,11 @@ def policy_rollout_lanes(
 class LaneRolloutOutput(NamedTuple):
     states: jnp.ndarray  # (R, T, nq + nv)
     sensordata: jnp.ndarray  # (R, T, nsensordata)
+    # converged step-0 constraint forces (R, nefc): carry into the NEXT
+    # solve's efc_warm to warm-start contact onset (the plant state moves
+    # little between control cycles) — the TPU analogue of mjData's efc
+    # warm-start persisting across the reference's per-thread rollouts
+    efc0: jnp.ndarray | None = None
 
 
 def rollout_lanes(
@@ -514,6 +532,7 @@ def rollout_lanes(
     iterations: int | None = None,
     backend: str = "pallas",
     lipschitz: str = "cw",
+    efc_warm: jnp.ndarray | None = None,  # (R, nefc) onset warm start
 ) -> LaneRolloutOutput:
     """Batched rollout in the lanes formulation (states batch-first at the
     API boundary; one transpose each way per solve).
@@ -533,6 +552,12 @@ def rollout_lanes(
     qv = jnp.concatenate([qvel0, jnp.repeat(qvel0[-1:], pad, axis=0)], axis=0).T
     ct = jnp.concatenate([controls, jnp.repeat(controls[-1:], pad, axis=0)], axis=0)
     ct = jnp.transpose(ct, (1, 2, 0))  # (T, nu, B)
+    if efc_warm is None:
+        f0 = jnp.zeros((max(nefc, 1), B), dtype)
+    else:
+        f0 = jnp.concatenate(
+            [efc_warm, jnp.repeat(efc_warm[-1:], pad, axis=0)], axis=0
+        ).T.astype(dtype)  # (nefc, B)
 
     if backend in ("pallas", "interpret"):
         # fused path: the whole T-rollout is ONE kernel (see _build_fused_rollout)
@@ -542,10 +567,9 @@ def rollout_lanes(
             m, T, physics_substeps, iterations,
             interpret=(backend == "interpret"), lipschitz=lipschitz,
         )
-        qps, qvs, senss = roll(qp, qv, ct)
+        qps, qvs, senss, f0_out = roll(qp, qv, ct, f0)
     elif backend == "xla":
         step_fn = _xla_step_fn(m, iterations, lipschitz=lipschitz)
-        f0 = jnp.zeros((max(nefc, 1), B), dtype)
         v0 = jnp.ones((max(nefc, 1), B), dtype)  # carried CW probe
 
         def body(carry, ctrl_t):
@@ -553,9 +577,10 @@ def rollout_lanes(
             sens = None
             for _ in range(physics_substeps):
                 qp, qv, sens, f, v = step_fn(qp, qv, ctrl_t, f, v)
-            return (qp, qv, f, v), (qp, qv, sens)
+            return (qp, qv, f, v), (qp, qv, sens, f)
 
-        (_, _, _, _), (qps, qvs, senss) = jax.lax.scan(body, (qp, qv, f0, v0), ct)
+        (_, _, _, _), (qps, qvs, senss, fs) = jax.lax.scan(body, (qp, qv, f0, v0), ct)
+        f0_out = fs[0]
     else:  # pragma: no cover
         raise ValueError(f"unknown lane backend {backend!r}")
 
@@ -564,4 +589,5 @@ def rollout_lanes(
     senss = jnp.transpose(senss, (2, 0, 1))[:R, :, : max(ns, 1)]
     if ns == 0:
         senss = senss[:, :, :0]
-    return LaneRolloutOutput(states=states, sensordata=senss)
+    efc0 = jnp.transpose(f0_out, (1, 0))[:R, : max(nefc, 1)]
+    return LaneRolloutOutput(states=states, sensordata=senss, efc0=efc0)
