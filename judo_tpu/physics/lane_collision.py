@@ -369,21 +369,48 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
     size1 = [_s(s1, i) for i in range(3)]  # (P, 1) each
     size2 = [_s(s2, i) for i in range(3)]
 
-    cols1 = jnp.stack([_col(m1, i) for i in range(3)])  # (3, P, 3, B)
-    cols2 = jnp.stack([_col(m2, j) for j in range(3)])
-    cr = l_cross(cols1[:, None], cols2[None])  # (3, 3, P, 3, B)
-    axes_s = jnp.concatenate([cols1, cols2, cr.reshape(9, *cr.shape[2:])], axis=0)  # (15,P,3,B)
+    cols1 = [_col(m1, i) for i in range(3)]  # (P, 3, B) each
+    cols2 = [_col(m2, j) for j in range(3)]
 
     # separations on UNNORMALIZED axes, scaled once by rsqrt(|a|^2): avoids
     # normalizing the whole (15, P, 3, B) axis tensor (a division + sqrt on
-    # the biggest intermediate) — only the final (15, P, B) scalars scale
-    d2 = l_dot3(axes_s, axes_s)  # (15, P, B)
-    inv_nrm = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
-    an_s = axes_s * inv_nrm[..., None, :]  # still needed for the winner blend
-    p1 = sum(size1[i] * jnp.abs(l_dot3(axes_s, cols1[i][None])) for i in range(3))
-    p2 = sum(size2[j] * jnp.abs(l_dot3(axes_s, cols2[j][None])) for j in range(3))
-    seps_s = (jnp.abs(l_dot3(axes_s, d_vec[None])) - p1 - p2) * inv_nrm  # (15, P, B)
-    valids_s = d2 > 1e-12
+    # the biggest intermediate). LOCAL-FRAME SAT (Gottschalk's OBB test):
+    # with Rm[i][j] = c1_i . c2_j and t_i = d . c1_i, every separation and
+    # every axis length has a closed form in these 12 scalars — the 15 tests
+    # are pure (P, B) scalar math, never touching a (15, P, 3, B) tensor.
+    cl1 = cols1  # (P, 3, B) each
+    cl2 = cols2
+    Rm = [[l_dot3(cl1[i], cl2[j]) for j in range(3)] for i in range(3)]  # (P, B)
+    Am = [[jnp.abs(Rm[i][j]) for j in range(3)] for i in range(3)]
+    t1 = [l_dot3(d_vec, cl1[i]) for i in range(3)]  # d in box1 coords
+    t2 = [l_dot3(d_vec, cl2[j]) for j in range(3)]  # d in box2 coords
+
+    seps = [None] * 15
+    inv_nrms = [None] * 15
+    valids = [None] * 15
+    one = jnp.ones_like(t1[0])
+    for i in range(3):  # box1 face axes
+        seps[i] = jnp.abs(t1[i]) - (size1[i] + size2[0] * Am[i][0] + size2[1] * Am[i][1] + size2[2] * Am[i][2])
+        inv_nrms[i] = one
+        valids[i] = jnp.ones_like(t1[i], dtype=bool)
+    for j in range(3):  # box2 face axes
+        seps[3 + j] = jnp.abs(t2[j]) - (size2[j] + size1[0] * Am[0][j] + size1[1] * Am[1][j] + size1[2] * Am[2][j])
+        inv_nrms[3 + j] = one
+        valids[3 + j] = jnp.ones_like(t2[j], dtype=bool)
+    for i in range(3):  # cross axes c1_i x c2_j
+        i1, i2 = (i + 1) % 3, (i + 2) % 3
+        for j in range(3):
+            j1, j2 = (j + 1) % 3, (j + 2) % 3
+            k = 6 + 3 * i + j
+            ad = jnp.abs(t1[i2] * Rm[i1][j] - t1[i1] * Rm[i2][j])
+            p1k = size1[i1] * Am[i2][j] + size1[i2] * Am[i1][j]
+            p2k = size2[j1] * Am[i][j2] + size2[j2] * Am[i][j1]
+            len2 = 1.0 - Rm[i][j] * Rm[i][j]  # |c1_i x c2_j|^2
+            inv_nrms[k] = jax.lax.rsqrt(jnp.maximum(len2, 1e-24))
+            seps[k] = (ad - p1k - p2k) * inv_nrms[k]
+            valids[k] = len2 > 1e-12
+    seps_s = jnp.stack(seps)  # (15, P, B)
+    valids_s = jnp.stack(valids)
 
     neg_inf = jnp.asarray(-_BIG, dtype)
     # cross axes (index >= 6) get the +1e-6 face-preference bias
@@ -407,7 +434,18 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
     ranks = _rank_stacked(-scores_s)  # rank 0 = largest score, earliest index
     oh_s = (ranks == 0).astype(dtype)  # (15, P, B)
     oh = [oh_s[i] > 0.5 for i in range(15)]
-    axis = usum(oh_s[..., None, :] * an_s, 0)  # (P, 3, B)
+    # winner axis in world frame, computed ONCE: blend the face axes
+    # directly; for a winning cross axis blend its two factor columns and
+    # take one normalized cross product
+    face_axis = sum(oh_s[i][..., None, :] * cl1[i] + oh_s[3 + i][..., None, :] * cl2[i] for i in range(3))
+    w_c1 = [sum(oh_s[6 + 3 * i + j] for j in range(3)) for i in range(3)]  # (P, B)
+    w_c2 = [sum(oh_s[6 + i + 3 * j] for j in range(3)) for i in range(3)]
+    c1_sel = sum(w_c1[i][..., None, :] * cl1[i] for i in range(3))
+    c2_sel = sum(w_c2[j][..., None, :] * cl2[j] for j in range(3))
+    inv_sel = usum(oh_s * jnp.stack(inv_nrms), 0)  # (P, B)
+    cross_axis = l_cross(c1_sel, c2_sel) * inv_sel[..., None, :]
+    is_edge_f = usum(oh_s[6:], 0)  # (P, B) 1.0 where a cross axis won
+    axis = face_axis + is_edge_f[..., None, :] * cross_axis
     sign = jnp.where(l_dot3(axis, d_vec) >= 0, 1.0, -1.0).astype(dtype)
     normal = sign[..., None, :] * axis
 
@@ -457,12 +495,6 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
     u_half = _blend_axis(oh_u, inc_size)
     v_half = _blend_axis(oh_v, inc_size)
 
-    verts = []
-    for su, sv in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
-        verts.append(
-            c_world + (su * u_half)[..., None, :] * u_axis_w + (sv * v_half)[..., None, :] * v_axis_w
-        )
-
     # reference face rectangle frame
     r_u_w = _blend_axis([e_ref[(k + 2) % 3] for k in range(3)], ref_cols)
     r_v_w = _blend_axis([e_ref[(k + 1) % 3] for k in range(3)], ref_cols)
@@ -471,16 +503,26 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
     hv = _blend_axis([e_ref[(k + 1) % 3] for k in range(3)], ref_size)
     h_face = _blend_axis(e_ref, ref_size)
 
-    u = [l_dot3(vx - ref_pos, r_u_w) for vx in verts]
-    v = [l_dot3(vx - ref_pos, r_v_w) for vx in verts]
-    w = [l_dot3(vx - ref_pos, r_n_w) for vx in verts]
+    # incident-face corner coordinates IN THE REFERENCE FACE FRAME, expanded
+    # analytically: vert(su, sv) = c_world + su*u_half*u_axis + sv*v_half*
+    # v_axis, so each (u, v, w) dot decomposes into a base dot + two scalar
+    # terms — 9 dot products total instead of 12, and the world-space verts
+    # are never materialized
+    rel_c = c_world - ref_pos
+    base = [l_dot3(rel_c, ax) for ax in (r_u_w, r_v_w, r_n_w)]
+    du = [l_dot3(u_axis_w, ax) * u_half for ax in (r_u_w, r_v_w, r_n_w)]
+    dv = [l_dot3(v_axis_w, ax) * v_half for ax in (r_u_w, r_v_w, r_n_w)]
+    signs_uv = ((1, 1), (1, -1), (-1, 1), (-1, -1))
+    u = [base[0] + su * du[0] + sv * dv[0] for su, sv in signs_uv]
+    v = [base[1] + su * du[1] + sv * dv[1] for su, sv in signs_uv]
+    w = [base[2] + su * du[2] + sv * dv[2] for su, sv in signs_uv]
     u_c = [jnp.clip(x, -hu, hu) for x in u]
     v_c = [jnp.clip(x, -hv, hv) for x in v]
 
-    # incident-face plane in (u, v, w) ref coords via one cross product
-    d10 = verts[1] - verts[0]
-    d20 = verts[2] - verts[0]
-    n_pl = l_cross(d10, d20)
+    # incident-face plane in (u, v, w) ref coords: the plane normal is
+    # cross(vert1-vert0, vert2-vert0) = 4*v_half*u_half*cross(v_axis, u_axis)
+    # — its (u, v, w) components via one cross product + three dots
+    n_pl = l_cross(v_axis_w, u_axis_w) * (4.0 * v_half * u_half)[..., None, :]
     n_u = l_dot3(n_pl, r_u_w)
     n_v = l_dot3(n_pl, r_v_w)
     n_w = l_dot3(n_pl, r_n_w)

@@ -260,9 +260,12 @@ def assemble_constraints_l(
     c_parts: list | None = None
     if contacts is not None and contacts.ncon:
         CC = contacts.ncon
-        CD = jnp.stack(com.cdof)  # (nv, 6, B)
-        ANG = CD[:, :3, :]  # (nv, 3, B)
-        LIN = CD[:, 3:, :]
+        # per-component (nv, B) rows of the dof spatial axes: contractions
+        # over the 3-axis run as component-sliced (C, nv, B) products — a
+        # (C, nv, 3, B) tensor would put the 3-axis in sublanes (3/8-utilized
+        # granules, C*nv of them per op; see lane_collision's layout note)
+        ANGk = [jnp.stack([cd[k] for cd in com.cdof]) for k in range(3)]  # (nv, B)
+        LINk = [jnp.stack([cd[3 + k] for cd in com.cdof]) for k in range(3)]
         rc1 = jnp.stack([com.root_com[b] for b in contacts.body1])  # (C, 3, B)
         rc2 = jnp.stack([com.root_com[b] for b in contacts.body2])
         arm1 = contacts.pos - rc1
@@ -279,9 +282,14 @@ def assemble_constraints_l(
 
         def rows_for(d: jnp.ndarray) -> jnp.ndarray:
             """J·d rows for all contacts: (C, 3, B) direction -> (C, nv, B)."""
-            lin_d = usum(LIN[None] * d[:, None], -2)  # LIN_v·d_c
-            ang1 = usum(ANG[None] * l_cross(arm1, d)[:, None], -2)  # ANG_v·(arm1 x d)
-            ang2 = usum(ANG[None] * l_cross(arm2, d)[:, None], -2)
+            dk = [d[:, k, :] for k in range(3)]
+            w1 = l_cross(arm1, d)
+            w2 = l_cross(arm2, d)
+            w1k = [w1[:, k, :] for k in range(3)]
+            w2k = [w2[:, k, :] for k in range(3)]
+            lin_d = sum(LINk[k][None] * dk[k][:, None] for k in range(3))
+            ang1 = sum(ANGk[k][None] * w1k[k][:, None] for k in range(3))
+            ang2 = sum(ANGk[k][None] * w2k[k][:, None] for k in range(3))
             return m2c * (lin_d + ang2) - m1c * (lin_d + ang1)
 
         row_n = rows_for(contacts.normal)
