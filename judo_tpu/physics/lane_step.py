@@ -266,11 +266,33 @@ def assemble_constraints_l(
         # granules, C*nv of them per op; see lane_collision's layout note)
         ANGk = [jnp.stack([cd[k] for cd in com.cdof]) for k in range(3)]  # (nv, B)
         LINk = [jnp.stack([cd[3 + k] for cd in com.cdof]) for k in range(3)]
-        rc1 = jnp.stack([com.root_com[b] for b in contacts.body1])  # (C, 3, B)
-        rc2 = jnp.stack([com.root_com[b] for b in contacts.body2])
-        arm1 = contacts.pos - rc1
-        arm2 = contacts.pos - rc2
-        t1d, t2d = tangent_frame_l(contacts.normal)  # (C, 3, B)
+        # everything below runs on per-COMPONENT (C, B) slices — (C, 3, B)
+        # tensors put the 3-axis in sublanes (3/8-utilized granules; see
+        # lane_collision's layout note), so vectors live as 3-tuples here
+        posk = [contacts.pos[:, k, :] for k in range(3)]
+        nk = [contacts.normal[:, k, :] for k in range(3)]
+        rc1k = [jnp.stack([com.root_com[b][k] for b in contacts.body1]) for k in range(3)]
+        rc2k = [jnp.stack([com.root_com[b][k] for b in contacts.body2]) for k in range(3)]
+        arm1k = [posk[k] - rc1k[k] for k in range(3)]
+        arm2k = [posk[k] - rc2k[k] for k in range(3)]
+
+        # tangent frame (tangent_frame_l, component form): ref = ex where
+        # |n_x| < 0.5 else ey; t1 = n x ref normalized; t2 = n x t1
+        use_x = jnp.abs(nk[0]) < 0.5
+        zero = jnp.zeros_like(nk[0])
+        t1r = [
+            jnp.where(use_x, zero, -nk[2]),
+            jnp.where(use_x, nk[2], zero),
+            jnp.where(use_x, -nk[1], nk[0]),
+        ]
+        nrm = jnp.sqrt(jnp.maximum(t1r[0] ** 2 + t1r[1] ** 2 + t1r[2] ** 2, 1e-24))
+        inv = 1.0 / jnp.maximum(nrm, 1e-12)
+        t1k = [c * inv for c in t1r]
+        t2k = [
+            nk[1] * t1k[2] - nk[2] * t1k[1],
+            nk[2] * t1k[0] - nk[0] * t1k[2],
+            nk[0] * t1k[1] - nk[1] * t1k[0],
+        ]
         # jnp.full-based constant columns: Pallas kernels cannot capture
         # literal-array constants (lane_engine.const_col note)
         cc1 = lambda v: const_col(np.asarray(v, np.float64), dtype)  # noqa: E731
@@ -280,21 +302,26 @@ def assemble_constraints_l(
         m1c = cmask(contacts.body1)
         m2c = cmask(contacts.body2)
 
-        def rows_for(d: jnp.ndarray) -> jnp.ndarray:
-            """J·d rows for all contacts: (C, 3, B) direction -> (C, nv, B)."""
-            dk = [d[:, k, :] for k in range(3)]
-            w1 = l_cross(arm1, d)
-            w2 = l_cross(arm2, d)
-            w1k = [w1[:, k, :] for k in range(3)]
-            w2k = [w2[:, k, :] for k in range(3)]
+        def rows_for(dk: list) -> jnp.ndarray:
+            """J·d rows for all contacts: component list [(C, B)]*3 -> (C, nv, B)."""
+            w1k = [
+                arm1k[1] * dk[2] - arm1k[2] * dk[1],
+                arm1k[2] * dk[0] - arm1k[0] * dk[2],
+                arm1k[0] * dk[1] - arm1k[1] * dk[0],
+            ]
+            w2k = [
+                arm2k[1] * dk[2] - arm2k[2] * dk[1],
+                arm2k[2] * dk[0] - arm2k[0] * dk[2],
+                arm2k[0] * dk[1] - arm2k[1] * dk[0],
+            ]
             lin_d = sum(LINk[k][None] * dk[k][:, None] for k in range(3))
             ang1 = sum(ANGk[k][None] * w1k[k][:, None] for k in range(3))
             ang2 = sum(ANGk[k][None] * w2k[k][:, None] for k in range(3))
             return m2c * (lin_d + ang2) - m1c * (lin_d + ang1)
 
-        row_n = rows_for(contacts.normal)
-        row_t1 = rows_for(t1d)
-        row_t2 = rows_for(t2d)
+        row_n = rows_for(nk)
+        row_t1 = rows_for(t1k)
+        row_t2 = rows_for(t2k)
 
         margin_c = cc1(contacts.includemargin)
         pos = contacts.dist - margin_c  # (C, B)
