@@ -358,32 +358,52 @@ def _k_capsule_box(x1, m1, s1, x2, m2, s2):
 
 
 def _k_box_box(x1, m1, s1, x2, m2, s2):
-    """4-slot box-box SAT manifold (port of box_collision.box_box), stacked.
-
-    The 15 SAT axes are evaluated as ONE set of ops on a (15, P, 3, B)
-    leading-axis stack (second-level stacking): the per-axis loop of narrow
-    ops dominated the narrowphase cost (measured ~half the whole leap step,
-    scratch/r5_ab_stages.py)."""
+    """4-slot box-box SAT manifold (port of box_collision.box_box), stacked
+    AND component-sliced: every 3-vector lives as a tuple of (P, B)
+    component planes, so no (P, 3, B) tensor (whose 3-axis would land in the
+    sublane dimension at 3/8 utilization) is ever materialized. The SAT runs
+    in the boxes' local frames (Gottschalk's 15 closed-form tests); the
+    incident-face clip runs in the reference face frame."""
     dtype = x1.dtype
-    d_vec = x2 - x1
     size1 = [_s(s1, i) for i in range(3)]  # (P, 1) each
     size2 = [_s(s2, i) for i in range(3)]
 
-    cols1 = [_col(m1, i) for i in range(3)]  # (P, 3, B) each
-    cols2 = [_col(m2, j) for j in range(3)]
+    # component tuples: vectors are 3-tuples of (P, B)
+    x1t = tuple(x1[:, k, :] for k in range(3))
+    x2t = tuple(x2[:, k, :] for k in range(3))
+    dt = tuple(x2t[k] - x1t[k] for k in range(3))
+    c1t = [tuple(m1[:, k, i, :] for k in range(3)) for i in range(3)]
+    c2t = [tuple(m2[:, k, j, :] for k in range(3)) for j in range(3)]
 
-    # separations on UNNORMALIZED axes, scaled once by rsqrt(|a|^2): avoids
-    # normalizing the whole (15, P, 3, B) axis tensor (a division + sqrt on
-    # the biggest intermediate). LOCAL-FRAME SAT (Gottschalk's OBB test):
-    # with Rm[i][j] = c1_i . c2_j and t_i = d . c1_i, every separation and
-    # every axis length has a closed form in these 12 scalars — the 15 tests
-    # are pure (P, B) scalar math, never touching a (15, P, 3, B) tensor.
-    cl1 = cols1  # (P, 3, B) each
-    cl2 = cols2
-    Rm = [[l_dot3(cl1[i], cl2[j]) for j in range(3)] for i in range(3)]  # (P, B)
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1], a[2] * b[0] - a[0] * b[2], a[0] * b[1] - a[1] * b[0])
+
+    def add(a, b):
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+    def sub(a, b):
+        return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+    def scale(w, a):  # w (P, B) or (P, 1)
+        return (w * a[0], w * a[1], w * a[2])
+
+    def blend(w, a, b):  # w in [0, 1]
+        return tuple(w * a[k] + (1.0 - w) * b[k] for k in range(3))
+
+    def vwhere(c, a, b):  # c bool (P, B)
+        return tuple(jnp.where(c, a[k], b[k]) for k in range(3))
+
+    def pack(a):  # tuple -> (P, 3, B)
+        return jnp.stack(a, axis=1)
+
+    # --- local-frame SAT (Gottschalk): all 15 tests in 12 scalars ---
+    Rm = [[dot(c1t[i], c2t[j]) for j in range(3)] for i in range(3)]  # (P, B)
     Am = [[jnp.abs(Rm[i][j]) for j in range(3)] for i in range(3)]
-    t1 = [l_dot3(d_vec, cl1[i]) for i in range(3)]  # d in box1 coords
-    t2 = [l_dot3(d_vec, cl2[j]) for j in range(3)]  # d in box2 coords
+    t1 = [dot(dt, c1t[i]) for i in range(3)]  # d in box1 coords
+    t2 = [dot(dt, c2t[j]) for j in range(3)]  # d in box2 coords
 
     seps = [None] * 15
     inv_nrms = [None] * 15
@@ -437,50 +457,56 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
     # winner axis in world frame, computed ONCE: blend the face axes
     # directly; for a winning cross axis blend its two factor columns and
     # take one normalized cross product
-    face_axis = sum(oh_s[i][..., None, :] * cl1[i] + oh_s[3 + i][..., None, :] * cl2[i] for i in range(3))
+    face_axis = (jnp.zeros_like(one),) * 3
+    for i in range(3):
+        face_axis = add(face_axis, add(scale(oh_s[i], c1t[i]), scale(oh_s[3 + i], c2t[i])))
     w_c1 = [sum(oh_s[6 + 3 * i + j] for j in range(3)) for i in range(3)]  # (P, B)
     w_c2 = [sum(oh_s[6 + i + 3 * j] for j in range(3)) for i in range(3)]
-    c1_sel = sum(w_c1[i][..., None, :] * cl1[i] for i in range(3))
-    c2_sel = sum(w_c2[j][..., None, :] * cl2[j] for j in range(3))
+    c1_sel = (jnp.zeros_like(one),) * 3
+    c2_sel = (jnp.zeros_like(one),) * 3
+    for i in range(3):
+        c1_sel = add(c1_sel, scale(w_c1[i], c1t[i]))
+        c2_sel = add(c2_sel, scale(w_c2[i], c2t[i]))
     inv_sel = usum(oh_s * jnp.stack(inv_nrms), 0)  # (P, B)
-    cross_axis = l_cross(c1_sel, c2_sel) * inv_sel[..., None, :]
+    cross_axis = scale(inv_sel, cross(c1_sel, c2_sel))
     is_edge_f = usum(oh_s[6:], 0)  # (P, B) 1.0 where a cross axis won
-    axis = face_axis + is_edge_f[..., None, :] * cross_axis
-    sign = jnp.where(l_dot3(axis, d_vec) >= 0, 1.0, -1.0).astype(dtype)
-    normal = sign[..., None, :] * axis
+    axis = add(face_axis, scale(is_edge_f, cross_axis))
+    sign = jnp.where(dot(axis, dt) >= 0, 1.0, -1.0).astype(dtype)
+    normal = scale(sign, axis)
 
     is_face = (oh[0] | oh[1] | oh[2] | oh[3] | oh[4] | oh[5])
     ref_is_1 = (oh[0] | oh[1] | oh[2])
 
     # reference/incident box quantities blended per lane
-    rsel = ref_is_1.astype(dtype)[..., None, :]
-    ref_pos = rsel * x1 + (1 - rsel) * x2
-    inc_pos = rsel * x2 + (1 - rsel) * x1
-    ref_cols = [rsel * _col(m1, i) + (1 - rsel) * _col(m2, i) for i in range(3)]
-    inc_cols = [rsel * _col(m2, i) + (1 - rsel) * _col(m1, i) for i in range(3)]
+    rsel = ref_is_1.astype(dtype)
+    ref_pos = blend(rsel, x1t, x2t)
+    inc_pos = blend(rsel, x2t, x1t)
+    ref_cols = [blend(rsel, c1t[i], c2t[i]) for i in range(3)]
+    inc_cols = [blend(rsel, c2t[i], c1t[i]) for i in range(3)]
     ref_size = [jnp.where(ref_is_1, size1[i], size2[i]) for i in range(3)]
     inc_size = [jnp.where(ref_is_1, size2[i], size1[i]) for i in range(3)]
-    ref_n = jnp.where(ref_is_1[..., None, :], normal, -normal)
+    ref_n = vwhere(ref_is_1, normal, scale(-one, normal))
 
     # reference face local axis: one-hot over |alignment|
-    ref_align = [l_dot3(ref_cols[i], ref_n) for i in range(3)]
+    ref_align = [dot(ref_cols[i], ref_n) for i in range(3)]
     ra_abs = [jnp.abs(v) for v in ref_align]
     ra_max = jnp.maximum(jnp.maximum(ra_abs[0], ra_abs[1]), ra_abs[2])
     e_ref = first_true_onehot([ra_abs[i] == ra_max for i in range(3)])
     ref_sign = jnp.sign(sum(ref_align[i] * e_ref[i].astype(dtype) for i in range(3)) + 1e-12)
 
-    inc_align = [l_dot3(inc_cols[i], ref_n) for i in range(3)]
+    inc_align = [dot(inc_cols[i], ref_n) for i in range(3)]
     ia_abs = [jnp.abs(v) for v in inc_align]
     ia_max = jnp.maximum(jnp.maximum(ia_abs[0], ia_abs[1]), ia_abs[2])
     e_ax = first_true_onehot([ia_abs[i] == ia_max for i in range(3)])
     inc_sign = -jnp.sign(sum(inc_align[i] * e_ax[i].astype(dtype) for i in range(3)) + 1e-12)
 
-    def _blend_axis(oh3: list, items: list):
-        """Select from 3 per-axis (P, B) or (P, 3, B) items with one-hots."""
-        out = 0.0
+    def blend3s(oh3, items):  # scalar (P, B)/( P, 1) items
+        return sum(oh3[i].astype(dtype) * items[i] for i in range(3))
+
+    def blend3v(oh3, items):  # tuple items
+        out = (jnp.zeros_like(one),) * 3
         for i in range(3):
-            w = oh3[i].astype(dtype)
-            out = out + (w[..., None, :] * items[i] if items[i].ndim == 3 else w * items[i])
+            out = add(out, scale(oh3[i].astype(dtype), items[i]))
         return out
 
     # incident face u/v axes are the two non-face axes in cyclic order:
@@ -488,30 +514,29 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
     oh_u = [e_ax[(k + 2) % 3] for k in range(3)]
     oh_v = [e_ax[(k + 1) % 3] for k in range(3)]
 
-    inc_face_size = _blend_axis(e_ax, inc_size)
-    c_world = inc_pos + (inc_sign * inc_face_size)[..., None, :] * _blend_axis(e_ax, inc_cols)
-    u_axis_w = _blend_axis(oh_u, inc_cols)
-    v_axis_w = _blend_axis(oh_v, inc_cols)
-    u_half = _blend_axis(oh_u, inc_size)
-    v_half = _blend_axis(oh_v, inc_size)
+    inc_face_size = blend3s(e_ax, inc_size)
+    c_world = add(inc_pos, scale(inc_sign * inc_face_size, blend3v(e_ax, inc_cols)))
+    u_axis_w = blend3v(oh_u, inc_cols)
+    v_axis_w = blend3v(oh_v, inc_cols)
+    u_half = blend3s(oh_u, inc_size)
+    v_half = blend3s(oh_v, inc_size)
 
     # reference face rectangle frame
-    r_u_w = _blend_axis([e_ref[(k + 2) % 3] for k in range(3)], ref_cols)
-    r_v_w = _blend_axis([e_ref[(k + 1) % 3] for k in range(3)], ref_cols)
-    r_n_w = _blend_axis(e_ref, ref_cols)
-    hu = _blend_axis([e_ref[(k + 2) % 3] for k in range(3)], ref_size)
-    hv = _blend_axis([e_ref[(k + 1) % 3] for k in range(3)], ref_size)
-    h_face = _blend_axis(e_ref, ref_size)
+    r_u_w = blend3v([e_ref[(k + 2) % 3] for k in range(3)], ref_cols)
+    r_v_w = blend3v([e_ref[(k + 1) % 3] for k in range(3)], ref_cols)
+    r_n_w = blend3v(e_ref, ref_cols)
+    hu = blend3s([e_ref[(k + 2) % 3] for k in range(3)], ref_size)
+    hv = blend3s([e_ref[(k + 1) % 3] for k in range(3)], ref_size)
+    h_face = blend3s(e_ref, ref_size)
 
     # incident-face corner coordinates IN THE REFERENCE FACE FRAME, expanded
     # analytically: vert(su, sv) = c_world + su*u_half*u_axis + sv*v_half*
     # v_axis, so each (u, v, w) dot decomposes into a base dot + two scalar
-    # terms — 9 dot products total instead of 12, and the world-space verts
-    # are never materialized
-    rel_c = c_world - ref_pos
-    base = [l_dot3(rel_c, ax) for ax in (r_u_w, r_v_w, r_n_w)]
-    du = [l_dot3(u_axis_w, ax) * u_half for ax in (r_u_w, r_v_w, r_n_w)]
-    dv = [l_dot3(v_axis_w, ax) * v_half for ax in (r_u_w, r_v_w, r_n_w)]
+    # terms; world-space verts are never materialized
+    rel_c = sub(c_world, ref_pos)
+    base = [dot(rel_c, ax) for ax in (r_u_w, r_v_w, r_n_w)]
+    du = [dot(u_axis_w, ax) * u_half for ax in (r_u_w, r_v_w, r_n_w)]
+    dv = [dot(v_axis_w, ax) * v_half for ax in (r_u_w, r_v_w, r_n_w)]
     signs_uv = ((1, 1), (1, -1), (-1, 1), (-1, -1))
     u = [base[0] + su * du[0] + sv * dv[0] for su, sv in signs_uv]
     v = [base[1] + su * du[1] + sv * dv[1] for su, sv in signs_uv]
@@ -521,64 +546,62 @@ def _k_box_box(x1, m1, s1, x2, m2, s2):
 
     # incident-face plane in (u, v, w) ref coords: the plane normal is
     # cross(vert1-vert0, vert2-vert0) = 4*v_half*u_half*cross(v_axis, u_axis)
-    # — its (u, v, w) components via one cross product + three dots
-    n_pl = l_cross(v_axis_w, u_axis_w) * (4.0 * v_half * u_half)[..., None, :]
-    n_u = l_dot3(n_pl, r_u_w)
-    n_v = l_dot3(n_pl, r_v_w)
-    n_w = l_dot3(n_pl, r_n_w)
+    n_pl = scale(4.0 * v_half * u_half, cross(v_axis_w, u_axis_w))
+    n_u = dot(n_pl, r_u_w)
+    n_v = dot(n_pl, r_v_w)
+    n_w = dot(n_pl, r_n_w)
     n_w = jnp.sign(n_w + 1e-30) * jnp.maximum(jnp.abs(n_w), 1e-12)
 
     face_pts, face_ds = [], []
     h_ref = h_face * ref_sign
-    for s in range(4):
-        w_c = w[0] - (n_u * (u_c[s] - u[0]) + n_v * (v_c[s] - v[0])) / n_w
+    for s_i in range(4):
+        w_c = w[0] - (n_u * (u_c[s_i] - u[0]) + n_v * (v_c[s_i] - v[0])) / n_w
         depth = ref_sign * w_c - h_face
         mid_w = 0.5 * (w_c + h_ref)
-        p = (
-            ref_pos
-            + u_c[s][..., None, :] * r_u_w
-            + v_c[s][..., None, :] * r_v_w
-            + mid_w[..., None, :] * r_n_w
+        pcomp = add(
+            add(ref_pos, scale(u_c[s_i], r_u_w)),
+            add(scale(v_c[s_i], r_v_w), scale(mid_w, r_n_w)),
         )
-        face_pts.append(p)
+        face_pts.append(pcomp)
         face_ds.append(depth)
 
     # edge-edge single contact
     e1_sel = [sum_oh([oh[6 + 3 * i + j] for j in range(3)]) for i in range(3)]  # axis of box1
     e2_sel = [sum_oh([oh[6 + i + 3 * j] for j in range(3)]) for i in range(3)]  # axis of box2
-    a1 = sum(e1_sel[i].astype(dtype)[..., None, :] * _col(m1, i) for i in range(3))
-    a2 = sum(e2_sel[i].astype(dtype)[..., None, :] * _col(m2, i) for i in range(3))
+    a1 = blend3v(e1_sel, c1t)
+    a2 = blend3v(e2_sel, c2t)
     # avoid zero axes when a face won: fall back to x-axes (masked out anyway)
-    a1 = jnp.where(is_face[..., None, :], _col(m1, 0), a1)
-    a2 = jnp.where(is_face[..., None, :], _col(m2, 0), a2)
+    a1 = vwhere(is_face, c1t[0], a1)
+    a2 = vwhere(is_face, c2t[0], a2)
 
     def edge_center(pos, cols, size, oh_edge, toward):
         out = pos
         for i in range(3):
-            s_i = jnp.sign(l_dot3(cols[i], toward) + 1e-12)
+            s_i = jnp.sign(dot(cols[i], toward) + 1e-12)
             keep = 1.0 - oh_edge[i].astype(dtype)
-            out = out + (keep * s_i * size[i])[..., None, :] * cols[i]
+            out = add(out, scale(keep * s_i * size[i], cols[i]))
         return out
 
-    c1 = edge_center(x1, [_col(m1, i) for i in range(3)], size1, e1_sel, normal)
-    c2 = edge_center(x2, [_col(m2, i) for i in range(3)], size2, e2_sel, -normal)
-    d12 = c2 - c1
-    a1a2 = l_dot3(a1, a2)
+    ec1 = edge_center(x1t, c1t, size1, e1_sel, normal)
+    ec2 = edge_center(x2t, c2t, size2, e2_sel, scale(-one, normal))
+    d12 = sub(ec2, ec1)
+    a1a2 = dot(a1, a2)
     denom = jnp.maximum(1.0 - a1a2 * a1a2, 1e-9)
-    t1 = (l_dot3(d12, a1) - l_dot3(d12, a2) * a1a2) / denom
-    t2 = -(l_dot3(d12, a2) - l_dot3(d12, a1) * a1a2) / denom
-    edge_pt = 0.5 * (c1 + t1[..., None, :] * a1 + c2 + t2[..., None, :] * a2)
+    te1 = (dot(d12, a1) - dot(d12, a2) * a1a2) / denom
+    te2 = -(dot(d12, a2) - dot(d12, a1) * a1a2) / denom
+    edge_pt = scale(0.5 * one, add(add(ec1, scale(te1, a1)), add(ec2, scale(te2, a2))))
 
     big = jnp.asarray(_BIG, dtype)
     sep_positive = dist >= 0
+    normal_s = pack(normal)
     out = []
-    for s in range(4):
-        fd = jnp.where(face_ds[s] < 0, face_ds[s], jnp.maximum(face_ds[s], dist))
-        ed = dist if s == 0 else jnp.full_like(dist, _BIG)
+    for s_i in range(4):
+        fd = jnp.where(face_ds[s_i] < 0, face_ds[s_i], jnp.maximum(face_ds[s_i], dist))
+        ed = dist if s_i == 0 else jnp.full_like(dist, _BIG)
         dd = jnp.where(is_face, fd, ed)
-        pp = jnp.where(is_face[..., None, :], face_pts[s], edge_pt)
-        dd = jnp.where(sep_positive, dist if s == 0 else big, dd)
-        out.append((dd, pp, normal))
+        pcomp = tuple(jnp.where(is_face, fp_k, ep_k) for fp_k, ep_k in zip(face_pts[s_i], edge_pt))
+        dd = jnp.where(sep_positive, dist if s_i == 0 else big, dd)
+        out.append((dd, pack(pcomp), normal_s))
     return out
 
 

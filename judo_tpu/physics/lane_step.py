@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from judo_tpu.physics import lane_engine as le
-from judo_tpu.physics.lane_collision import LaneContacts, find_contacts_l, tangent_frame_l
+from judo_tpu.physics.lane_collision import LaneContacts, find_contacts_l
 from judo_tpu.physics.lane_engine import (
     LaneCom,
     LaneKin,
